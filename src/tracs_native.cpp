@@ -1,0 +1,278 @@
+// tracs_tpu native host-ingest library.
+//
+// The TPU does the all-pairs math; this library keeps the *host* side fast:
+//   * gzip FASTA parsing + IUPAC bit-plane packing (the reference spends its
+//     ingest time in kseq + per-character bitset stores, src/pairsnp.hpp:62-220;
+//     here packing is a 256-entry nibble LUT + word shifts, OpenMP over
+//     records is unnecessary because parsing is single-stream)
+//   * htsbox pileup text parsing into [L, 4] count matrices (the reference
+//     parses per-line in Python, tracs/align.py:449-474 — its slowest host loop)
+//
+// Exposed as a plain C ABI consumed through ctypes (no pybind11 in image).
+
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+// gzip-capable line/byte reader with an internal buffer
+class GzReader {
+ public:
+  explicit GzReader(const char* path) : f_(gzopen(path, "rb")) {}
+  ~GzReader() {
+    if (f_) gzclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+
+  // read one line (without trailing newline); returns false at EOF
+  bool getline(std::string& out) {
+    out.clear();
+    while (true) {
+      if (pos_ >= len_) {
+        len_ = gzread(f_, buf_, sizeof(buf_));
+        pos_ = 0;
+        if (len_ <= 0) return !out.empty();
+      }
+      char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
+      if (nl) {
+        out.append(buf_ + pos_, nl - (buf_ + pos_));
+        pos_ = (nl - buf_) + 1;
+        return true;
+      }
+      out.append(buf_ + pos_, len_ - pos_);
+      pos_ = len_;
+    }
+  }
+
+ private:
+  gzFile f_;
+  char buf_[1 << 20];
+  int len_ = 0;
+  int pos_ = 0;
+};
+
+// IUPAC nibble LUT: bit0=A bit1=C bit2=G bit3=T, default N (=15) — matches
+// tracs_tpu.ops.packing.NIBBLE_LUT and the reference loader's switch default
+// (reference src/pairsnp.hpp:107-198)
+struct NibbleLut {
+  uint8_t t[256];
+  NibbleLut() {
+    for (int i = 0; i < 256; i++) t[i] = 15;
+    auto set = [&](char c, uint8_t v) {
+      t[static_cast<unsigned char>(c)] = v;
+      t[static_cast<unsigned char>(std::tolower(c))] = v;
+    };
+    set('A', 1); set('C', 2); set('G', 4); set('T', 8);
+    set('M', 3); set('R', 5); set('W', 9); set('S', 6); set('Y', 10);
+    set('K', 12); set('V', 7); set('H', 11); set('D', 13); set('B', 14);
+    set('N', 15);
+  }
+};
+const NibbleLut kLut;
+
+}  // namespace
+
+extern "C" {
+
+// First pass: count records and validate equal lengths.
+// Returns n_seqs (>=0) or a negative error code; *seq_len receives L.
+int64_t tn_fasta_scan(const char* path, int64_t* seq_len) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+  std::string line;
+  int64_t n = 0, L = -1, cur = 0;
+  bool in_seq = false;
+  while (r.getline(line)) {
+    if (!line.empty() && line[0] == '>') {
+      if (in_seq) {
+        if (L < 0) L = cur;
+        else if (cur != L) return -2;  // variable sequence lengths
+      }
+      n++;
+      cur = 0;
+      in_seq = true;
+    } else if (in_seq) {
+      cur += static_cast<int64_t>(line.size());
+      while (!line.empty() && (line.back() == '\r')) { cur--; line.pop_back(); }
+    }
+  }
+  if (in_seq) {
+    if (L < 0) L = cur;
+    else if (cur != L) return -2;
+  }
+  *seq_len = (L < 0 ? 0 : L);
+  return n;
+}
+
+// Second pass: pack into [n, 4, W] uint32 planes (W = ceil(L/32)) and copy
+// names (first whitespace token) into fixed-width slots.
+int64_t tn_fasta_pack(const char* path, uint32_t* planes, int64_t n_seqs,
+                      int64_t L, char* names, int64_t name_cap) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+  const int64_t W = (L + 31) / 32;
+  std::string line;
+  int64_t rec = -1, site = 0;
+  uint32_t* base = nullptr;
+  while (r.getline(line)) {
+    if (!line.empty() && line[0] == '>') {
+      rec++;
+      if (rec >= n_seqs) return -3;
+      site = 0;
+      base = planes + rec * 4 * W;
+      // name = first whitespace token
+      size_t e = 1;
+      while (e < line.size() && !std::isspace(static_cast<unsigned char>(line[e]))) e++;
+      int64_t len = std::min<int64_t>(e - 1, name_cap - 1);
+      memcpy(names + rec * name_cap, line.data() + 1, len);
+      names[rec * name_cap + len] = '\0';
+    } else if (rec >= 0) {
+      for (char ch : line) {
+        if (ch == '\r') continue;
+        if (site >= L) return -4;
+        uint8_t nib = kLut.t[static_cast<unsigned char>(ch)];
+        const int64_t w = site >> 5;
+        const uint32_t bit = 1u << (site & 31);
+        if (nib & 1) base[w] |= bit;
+        if (nib & 2) base[W + w] |= bit;
+        if (nib & 4) base[2 * W + w] |= bit;
+        if (nib & 8) base[3 * W + w] |= bit;
+        site++;
+      }
+    }
+  }
+  return rec + 1;
+}
+
+// Parse an htsbox pileup text file (possibly gzipped) into a [L_total, 4]
+// float32 count matrix laid out per-contig, with per-contig offsets supplied
+// by the caller.
+//
+//   counts        : float32 [L_total, 4], zero-initialised by caller
+//   contig_offs   : int64 [n_contigs] start row of each contig
+//   contig_names  : concatenated NUL-separated names, in offset order
+//   both_strands  : if nonzero, zero out alleles seen on only one strand
+//                   (reference tracs/align.py:469-471)
+//
+// Line format (reference align.py:455-473):
+//   contig  pos  ref  ...  nucs(,)  x:fwd,fwd,..:rev,rev,..
+// Returns number of parsed lines, or negative on error.
+int64_t tn_parse_pileup(const char* path, float* counts, int64_t l_total,
+                        int64_t* contig_offs, int64_t n_contigs,
+                        uint8_t* contig_names, int64_t names_len,
+                        int both_strands) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+
+  // build contig name -> offset lookup
+  std::vector<std::string> names;
+  std::vector<int64_t> offs;
+  {
+    const char* p = reinterpret_cast<const char*>(contig_names);
+    const char* end = p + names_len;
+    int64_t i = 0;
+    while (p < end && i < n_contigs) {
+      std::string nm(p);
+      p += nm.size() + 1;
+      names.push_back(std::move(nm));
+      offs.push_back(contig_offs[i]);
+      i++;
+    }
+    if (static_cast<int64_t>(names.size()) != n_contigs) return -2;
+  }
+
+  std::string line;
+  int64_t parsed = 0;
+  std::string cur_contig;
+  int64_t cur_off = -1;
+
+  std::vector<char*> fields;
+  std::vector<char> buf;
+  while (r.getline(line)) {
+    if (line.empty()) continue;
+    buf.assign(line.begin(), line.end());
+    buf.push_back('\0');
+    fields.clear();
+    char* save = nullptr;
+    for (char* tok = strtok_r(buf.data(), " \t", &save); tok;
+         tok = strtok_r(nullptr, " \t", &save)) {
+      fields.push_back(tok);
+    }
+    if (fields.size() < 4) continue;
+
+    if (cur_contig != fields[0]) {
+      cur_contig = fields[0];
+      cur_off = -1;
+      for (size_t i = 0; i < names.size(); i++) {
+        if (names[i] == cur_contig) { cur_off = offs[i]; break; }
+      }
+    }
+    if (cur_off < 0) continue;  // contig not requested
+
+    const int64_t pos = strtoll(fields[1], nullptr, 10) - 1;
+    // case-sensitive on purpose: the reference's npos lookup only has
+    // upper-case keys (tracs/align.py:444,467)
+    const char refc = fields[2][1] ? '\0' : fields[2][0];
+    int ref_idx;
+    switch (refc) {
+      case 'A': ref_idx = 0; break;
+      case 'C': ref_idx = 1; break;
+      case 'G': ref_idx = 2; break;
+      case 'T': ref_idx = 3; break;
+      default: ref_idx = -1;
+    }
+    // skip lines whose reference base is not ACGT (align.py:467 checks
+    // line[2]; allele loop writes nothing)
+    char* nucs = fields[fields.size() - 2];
+    char* countf = fields[fields.size() - 1];
+
+    // countf = "x:fwd1,fwd2,..:rev1,rev2,.."
+    char* c1 = strchr(countf, ':');
+    if (!c1) continue;
+    c1++;
+    char* c2 = strchr(c1, ':');
+    if (!c2) continue;
+    *c2 = '\0';
+    c2++;
+
+    float row[4] = {0, 0, 0, 0};
+    char *sn = nullptr, *s1 = nullptr, *s2 = nullptr;
+    char* tn = strtok_r(nucs, ",", &sn);
+    char* t1 = strtok_r(c1, ",", &s1);
+    char* t2 = strtok_r(c2, ",", &s2);
+    while (tn && t1 && t2) {
+      int idx;
+      switch (tn[0]) {
+        case 'A': idx = tn[1] ? -1 : 0; break;
+        case 'C': idx = tn[1] ? -1 : 1; break;
+        case 'G': idx = tn[1] ? -1 : 2; break;
+        case 'T': idx = tn[1] ? -1 : 3; break;
+        default: idx = -1;
+      }
+      long f = strtol(t1, nullptr, 10);
+      long b = strtol(t2, nullptr, 10);
+      if (both_strands && (f == 0 || b == 0)) { f = 0; b = 0; }
+      if (idx >= 0 && ref_idx >= 0) row[idx] = static_cast<float>(f + b);
+      tn = strtok_r(nullptr, ",", &sn);
+      t1 = strtok_r(nullptr, ",", &s1);
+      t2 = strtok_r(nullptr, ",", &s2);
+    }
+    const int64_t out = cur_off + pos;
+    if (out < 0 || out >= l_total) return -3;
+    float* dst = counts + out * 4;
+    dst[0] = row[0];
+    dst[1] = row[1];
+    dst[2] = row[2];
+    dst[3] = row[3];
+    parsed++;
+  }
+  return parsed;
+}
+
+}  // extern "C"

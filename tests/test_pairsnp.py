@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from tracs_tpu.ops.packing import NIBBLE_LUT, pack_sequences
+from tracs_tpu.ops.pairsnp import mismatch_words, pairsnp, snp_distance_dense
+
+
+def brute_force(nib_a, nib_b):
+    """Direct per-site evaluation of the reference semantics
+    (src/pairsnp.hpp:395-421): match = shared allele bit; N = all four."""
+    na, L = nib_a.shape
+    nb = nib_b.shape[0]
+    D = np.zeros((na, nb), dtype=int)
+    NN = np.zeros((na, nb), dtype=int)
+    for i in range(na):
+        for j in range(nb):
+            D[i, j] = np.sum((nib_a[i] & nib_b[j]) == 0)
+            NN[i, j] = L - np.sum((nib_a[i] == 15) | (nib_b[j] == 15))
+    return D, NN
+
+
+def to_nib(seqs):
+    return NIBBLE_LUT[
+        np.frombuffer("".join(seqs).encode(), np.uint8)
+    ].reshape(len(seqs), -1)
+
+
+def test_hand_computed_ambiguity():
+    seqs = ["ACGT", "MCGT", "TCGA", "NNNN", "XCGT"]
+    packed = pack_sequences(seqs)
+    D, NN = snp_distance_dense(packed)
+    # M shares A with A; N and X match everything
+    assert D[0, 1] == 0
+    assert D[0, 2] == 2
+    assert D[1, 2] == 2  # M vs T mismatch at pos0, T vs A at pos3
+    assert D[0, 3] == 0 and D[1, 3] == 0 and D[2, 3] == 0
+    assert D[0, 4] == 0  # X is loaded as N (reference loader default case)
+    # comparable sites exclude N (and X) positions
+    assert NN[0, 1] == 4
+    assert NN[0, 3] == 0
+    assert NN[0, 4] == 3
+    assert np.all(np.diag(D) == 0)
+
+
+@pytest.mark.parametrize("method", ["mxu", "popcount"])
+@pytest.mark.parametrize("L", [1, 37, 64, 129, 1000])
+def test_dense_matches_brute_force(rng, method, L):
+    chars = np.array(list("ACGTMRWSYKVHDBN-acgt"))
+    seqs = ["".join(rng.choice(chars, size=L)) for _ in range(11)]
+    packed = pack_sequences(seqs)
+    nib = to_nib([s.upper().replace("-", "N") for s in seqs])
+    Db, NNb = brute_force(nib, nib)
+    D, NN = snp_distance_dense(packed, method=method)
+    assert np.array_equal(D, Db)
+    assert np.array_equal(NN, NNb)
+
+
+def test_chunked_mxu_matches(rng):
+    # force multiple word-chunks through the scan accumulator
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=2048))
+            for _ in range(6)]
+    packed = pack_sequences(seqs)
+    D1, NN1 = snp_distance_dense(packed, method="mxu", chunk_sites=256)
+    D2, NN2 = snp_distance_dense(packed, method="popcount")
+    assert np.array_equal(D1, D2)
+    assert np.array_equal(NN1, NN2)
+
+
+def test_row_blocking(rng):
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=100)) for _ in range(17)]
+    packed = pack_sequences(seqs)
+    D1, _ = snp_distance_dense(packed, row_block=4)
+    D2, _ = snp_distance_dense(packed, row_block=2048)
+    assert np.array_equal(D1, D2)
+
+
+def test_coo_driver_order_and_threshold(rng):
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=300)) for _ in range(9)]
+    packed = pack_sequences(seqs)
+    nib = to_nib(seqs)
+    Db, NNb = brute_force(nib, nib)
+    thr = int(np.median(Db))
+    r, c, d, names, f, nn = pairsnp([packed], dist=thr)
+    mask = np.triu(Db <= thr, k=1)
+    rr, cc = np.nonzero(mask)
+    assert list(rr) == list(r)
+    assert list(cc) == list(c)
+    assert list(Db[rr, cc]) == list(d)
+    assert list(NNb[rr, cc]) == list(nn)
+    # unfiltered run: filt column zero-filled (reference combine_vectors
+    # default-fill, pairsnp.hpp:451-452)
+    assert all(x == 0 for x in f)
+    assert names == packed.names
+
+
+def test_two_fasta_rectangle(rng):
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=128)) for _ in range(7)]
+    pa = pack_sequences(seqs[:4], names=[f"a{i}" for i in range(4)])
+    pb = pack_sequences(seqs[4:], names=[f"b{i}" for i in range(3)])
+    nib = to_nib(seqs)
+    Db, _ = brute_force(nib[:4], nib[4:])
+    r, c, d, names, f, nn = pairsnp([pa, pb], dist=10**9)
+    assert names == pa.names + pb.names
+    k = 0
+    for i in range(4):
+        for j in range(3):
+            assert (r[k], c[k], d[k]) == (i, 4 + j, Db[i, j])
+            k += 1
+    assert k == len(r)
+
+
+def test_mismatch_words_padding(rng):
+    # padding bits beyond L must be cleared in the mismatch bitset
+    seqs = ["A" * 33, "C" * 33]
+    packed = pack_sequences(seqs)
+    mw = mismatch_words(packed, packed, [0], [1])
+    bits = np.unpackbits(mw.view(np.uint8), bitorder="little")
+    assert bits.sum() == 33
+
+
+def test_pairsnp_bad_input():
+    with pytest.raises(ValueError):
+        pairsnp([], dist=1)
+    with pytest.raises(ValueError):
+        pairsnp([1, 2, 3], dist=1)

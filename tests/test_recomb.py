@@ -1,0 +1,107 @@
+import numpy as np
+from scipy.stats import binom
+
+from tracs_tpu.ops.packing import pack_sequences
+from tracs_tpu.ops.pairsnp import mismatch_words, pairsnp
+from tracs_tpu.ops.recomb import filter_recomb_batch, filter_recomb_single
+
+
+def oracle_filter(positions, length):
+    """Independent per-window rescan port of the reference filter_recomb +
+    range_count (src/pairsnp.hpp:223-318): span runs from the first to the
+    last SNP inside the window, CDF is Binom(span, p) at count."""
+    d = len(positions)
+    if d <= 1:
+        return d
+    p = d / length
+    w = int(1.0 / p / 2.0 + 1.0)
+    w = min(max(w, 50), 5000)
+    thr = 0.05 / d
+    kept = 0
+    pos = np.asarray(positions)
+    for x in pos:
+        left, right = max(0, x - w), min(length, x + w + 1)
+        inwin = pos[(pos >= left) & (pos < right)]
+        count = len(inwin)
+        if count > 1:
+            span = inwin[-1] - inwin[0] + 1
+            pv = 1.0 - binom.cdf(count, span, p)
+            if pv >= thr:
+                kept += 1
+        else:
+            kept += 1
+    return kept
+
+
+def positions_to_words(positions, length):
+    bits = np.zeros((((length + 31) // 32) * 32,), dtype=np.uint8)
+    bits[np.asarray(positions, dtype=int)] = 1
+    packed = np.packbits(bits, bitorder="little")
+    return packed.view(np.uint32)[None, :]
+
+
+def test_trivial_counts():
+    assert filter_recomb_single(np.array([], dtype=int), 1000) == 0
+    assert filter_recomb_single(np.array([7]), 1000) == 1
+
+
+def test_clustered_snps_removed():
+    # 5 SNPs tightly clustered in 2000 bp + 3 isolated: the cluster should be
+    # flagged as significantly dense and dropped
+    length = 200_000
+    pos = np.array([100, 110, 120, 130, 140, 50_000, 120_000, 190_000])
+    got = filter_recomb_single(pos, length)
+    want = oracle_filter(pos, length)
+    assert got == want
+    assert got == 3  # only the isolated SNPs survive
+
+
+def test_random_agreement_with_oracle(rng):
+    for trial in range(20):
+        length = int(rng.integers(500, 50_000))
+        d = int(rng.integers(2, 60))
+        pos = np.sort(rng.choice(length, size=d, replace=False))
+        got = filter_recomb_single(pos, length)
+        want = oracle_filter(pos, length)
+        assert got == want, (trial, length, d)
+
+
+def test_batch_matches_single(rng):
+    length = 10_000
+    words = []
+    dvals = []
+    expects = []
+    for _ in range(15):
+        d = int(rng.integers(0, 40))
+        pos = np.sort(rng.choice(length, size=d, replace=False))
+        words.append(positions_to_words(pos, length))
+        dvals.append(d)
+        expects.append(oracle_filter(pos, length))
+    mism = np.concatenate(words, axis=0)
+    got = filter_recomb_batch(mism, np.array(dvals), length)
+    assert list(got) == expects
+
+
+def test_end_to_end_filter_driver(rng):
+    # full pairsnp with filter=True on sequences whose mismatches include a
+    # dense recombination-like block
+    L = 20_000
+    base = rng.choice(list("ACGT"), size=L)
+    s1 = base.copy()
+    s2 = base.copy()
+    # dense block of 30 SNPs within 300bp, plus 4 scattered SNPs
+    block = np.arange(5_000, 5_300, 10)
+    for x in block:
+        s2[x] = {"A": "C", "C": "G", "G": "T", "T": "A"}[s2[x]]
+    scattered = [1_000, 9_000, 14_000, 19_000]
+    for x in scattered:
+        s2[x] = {"A": "G", "C": "T", "G": "A", "T": "C"}[s2[x]]
+    packed = pack_sequences(["".join(s1), "".join(s2)])
+    r, c, d, names, f, nn = pairsnp([packed], dist=10**9, filter=True)
+    assert d == [34]
+    pos = np.sort(np.concatenate([block, scattered]))
+    assert f == [oracle_filter(pos, L)]
+    assert f[0] <= 4 + len(block)  # filtered never exceeds raw
+    mism = mismatch_words(packed, packed, [0], [1])
+    bits = np.unpackbits(mism.view(np.uint8), bitorder="little")
+    assert list(np.nonzero(bits)[0]) == list(pos)

@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+from scipy.special import gammaln
+
+from tracs_tpu.models.transcluster import (
+    calculate_trans_prob,
+    lprob_k_given_N,
+    trans_dist,
+)
+
+
+def test_lprob_k_given_N_sage_golden():
+    # golden from a symbolic Sage integral (reference tests/test_llk.py:27-28)
+    lgamma = gammaln(range(20))
+    lp, lhs = lprob_k_given_N(7, 4, 0.16963, 3, 52, lgamma)
+    assert abs(lp + 17.9565184209608) < 1e-6
+    assert abs(lhs - 12.0861694243766) < 1e-6
+
+
+def test_lprob_delta_zero_closed_form():
+    lgamma = gammaln(range(50))
+    N, k, lamb, beta = 5, 3, 29.903, 73.0
+    lp, lhs = lprob_k_given_N(N, k, 0.0, lamb, beta, lgamma)
+    want = (
+        (N + 1) * np.log(lamb)
+        + k * np.log(beta)
+        + gammaln(N + k + 1)
+        - gammaln(N + 1)
+        - gammaln(k + 1)
+        - (N + k + 1) * np.log(lamb + beta)
+    )
+    assert abs(lp - want) < 1e-12
+    assert lp == lhs
+
+
+def test_trans_dist_reference_goldens():
+    # the end-to-end distance-stage goldens (reference
+    # tests/test_trans_distance.py:29-43): lambda=29.903, beta=73,
+    # precision=0.01, delta = 1 day = 86400/31556952 years
+    delta = 0.002737907006988508
+    p0, eK = trans_dist([0, 2], [delta, delta], 29.903, 73.0, 0.01)
+    assert abs(np.exp(p0[0]) - 0.23794988406662973) < 1e-6
+    assert abs(np.exp(p0[1]) - 0.024467137572328577) < 1e-6
+    assert abs(eK[0] - 2.6335200453700187) < 1e-6
+    assert abs(eK[1] - 7.315670110063259) < 1e-6
+
+
+def test_trans_dist_memoised_scatter():
+    # duplicate (N, delta) pairs must produce identical outputs in order
+    d = [5, 0, 5, 2, 0]
+    dd = [0.1, 0.2, 0.1, 0.2, 0.2]
+    p0, eK = trans_dist(d, dd, 29.903, 73.0, 0.01)
+    assert p0[0] == p0[2]
+    assert eK[1] == eK[4]
+    assert len(p0) == len(eK) == 5
+
+
+def test_trans_dist_delta_zero_quirk():
+    # the reference's upper_bound_E produces NaN at delta=0 (0 * log 0), so
+    # the k-loop exits after k=1 and E(K) = P(k=1 | N); we reproduce that
+    p0, eK = trans_dist([3], [0.0], 29.903, 73.0, 0.01)
+    lgamma = gammaln(range(50))
+    lp1, _ = lprob_k_given_N(3, 1, 0.0, 29.903, 73.0, lgamma)
+    assert abs(eK[0] - np.exp(lp1)) < 1e-12
+    lp0, _ = lprob_k_given_N(3, 0, 0.0, 29.903, 73.0, lgamma)
+    assert abs(p0[0] - lp0) < 1e-12
+
+
+def test_trans_dist_empty():
+    p0, eK = trans_dist([], [], 29.903, 73.0)
+    assert len(p0) == 0 and len(eK) == 0
+
+
+def test_variant_equivalence():
+    # variant-1 (public API) and the vectorised variant-2 engine agree on
+    # lprob for k=0 across a parameter sweep
+    lgamma = gammaln(range(200))
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        N = int(rng.integers(0, 60))
+        delta = float(rng.uniform(0.001, 2.0))
+        lamb = float(rng.uniform(0.5, 40.0))
+        beta = float(rng.uniform(1.0, 100.0))
+        lp_v1, _ = lprob_k_given_N(N, 0, delta, lamb, beta, lgamma)
+        p0, _ = trans_dist([N], [delta], lamb, beta, 0.01)
+        assert abs(p0[0] - lp_v1) < 1e-9, (N, delta, lamb, beta)
+
+
+def test_large_N_stability():
+    # the reference lgamma table stops at 10000 (UB beyond); our direct
+    # lgamma evaluation must stay finite and sane for large N
+    p0, eK = trans_dist([20000], [0.5], 29.903, 73.0, 0.01)
+    assert np.isfinite(p0[0])
+    assert np.isfinite(eK[0])
+    assert p0[0] < 0
+
+
+def test_calculate_trans_prob_dates():
+    from datetime import date
+
+    dates = {
+        "s0": ("2019-01-14", date.fromisoformat("2019-01-14")),
+        "s1": ("2019-01-15", date.fromisoformat("2019-01-15")),
+    }
+    p0, eK, dd = calculate_trans_prob(
+        [[0], [1], [2]],
+        sample_dates=dates,
+        K=100,
+        lamb=29.903,
+        beta=73.0,
+        samplenames=["s0", "s1"],
+        log=False,
+        precision=0.01,
+    )
+    assert abs(dd[0] - 0.002737907006988508) < 1e-15
+    assert abs(np.exp(np.log(p0[0])) - p0[0]) < 1e-12  # p0 exponentiated
+    assert abs(p0[0] - 0.024467137572328577) < 1e-6

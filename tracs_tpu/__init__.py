@@ -1,0 +1,72 @@
+"""tracs_tpu — a TPU-native transmission-distance engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the TRACS
+pipeline (reference: gtonkinhill/tracs): it estimates pairwise transmission
+distances between bacterial / viral / metagenomic samples by
+
+  1. aligning reads against one or more reference genomes (``align`` stage,
+     host-side orchestration of external aligners),
+  2. converting pileups into coverage-aware posterior allele calls with an
+     empirical-Bayes Dirichlet-multinomial model (``models.dirichlet``),
+  3. computing all-pairs SNP distances over bit-packed one-hot alignments on
+     the TPU MXU/VPU (``ops.pairsnp``),
+  4. converting SNP + sampling-date differences into direct-transmission
+     probabilities and the expected number of intermediate hosts
+     (``models.transcluster``), and
+  5. grouping samples into transmission clusters (``stages.cluster``).
+
+Precision policy
+----------------
+x64 is enabled globally: the transcluster and Dirichlet-multinomial numerics
+require float64 to hit the reference golden values at 1e-6 tolerance
+(cf. reference tests/test_llk.py:27-28).  Those run on the JAX CPU backend.
+All TPU device kernels use explicit 8/16/32-bit dtypes and never place f64
+on the accelerator.
+"""
+
+import os
+
+# The float64 model numerics (transcluster, Dirichlet-multinomial) run on the
+# JAX CPU backend; make sure one exists even when the environment pins
+# JAX_PLATFORMS to a TPU plugin.  Must happen before jax initialises backends.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms and "cpu" not in _platforms.split(","):
+    os.environ["JAX_PLATFORMS"] = _platforms + ",cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from tracs_tpu.ops.packing import (  # noqa: E402
+    PackedAlignment,
+    pack_sequences,
+    pack_fasta,
+    iupac_code_for_mask,
+)
+from tracs_tpu.ops.pairsnp import pairsnp, snp_distance_dense  # noqa: E402
+from tracs_tpu.models.transcluster import (  # noqa: E402
+    lprob_k_given_N,
+    trans_dist,
+    calculate_trans_prob,
+)
+from tracs_tpu.models.dirichlet import (  # noqa: E402
+    find_dirichlet_priors,
+    calculate_posteriors,
+)
+
+__all__ = [
+    "PackedAlignment",
+    "pack_sequences",
+    "pack_fasta",
+    "iupac_code_for_mask",
+    "pairsnp",
+    "snp_distance_dense",
+    "lprob_k_given_N",
+    "trans_dist",
+    "calculate_trans_prob",
+    "find_dirichlet_priors",
+    "calculate_posteriors",
+    "__version__",
+]

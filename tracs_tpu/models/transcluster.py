@@ -1,0 +1,324 @@
+"""TransCluster model: P(k intermediate hosts | N SNPs, time gap delta).
+
+Implements the Stimson et al. 2019 transmission model with the exact
+semantics of the reference C++ kernel (reference src/transcluster.hpp):
+
+* ``lprob_k_given_N``      — public API, the reference's first variant
+                             (transcluster.hpp:90-129), golden-tested against
+                             a Sage integral (reference tests/test_llk.py).
+* ``trans_dist``           — vectorised driver returning (log p0, E(K)) per
+                             pair, matching transcluster.hpp:240-287.
+* ``expected_k``           — E(K) accumulated over k until the analytic upper
+                             bound (transcluster.hpp:173-188) tightens below
+                             the requested precision, k capped at 10000
+                             (transcluster.hpp:191-238).
+
+TPU-first redesign
+------------------
+The reference memoises per-(N, k, delta) log-probs in hash maps and loops
+pair-by-pair.  Here the unique (N, delta) pairs are batched into fixed-shape
+arrays and the k-loop becomes ONE vectorised ``lax.while_loop`` whose body is
+O(1) per lane: the per-k "integral"
+
+    I(M) = sum_{i=0..M} delta^(M-i) / ((M-i)! (lamb+beta)^(i+1)),  M = N+k
+
+satisfies the recurrence  I(M) = delta^M/(M! (lamb+beta)) + I(M-1)/(lamb+beta)
+carried in log space, so no O(N+k) inner sum is re-evaluated per k (the
+reference recomputes it each k: transcluster.hpp:152-158).
+
+Precision: float64 on the JAX CPU backend (TPUs have no native f64; this is a
+tiny scalar workload — the heavy all-pairs SNP kernel stays on the TPU).
+
+delta == 0 quirk: the reference computes ``upper_bound_E`` with
+``log(lamb*delta) = -inf`` and ``0 * -inf = NaN``, so ``diff_bound`` is NaN
+and the k-loop exits after k=1, giving E(K) = P(k=1|N).  The NaN arises here
+through the identical expression, reproducing the behaviour bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SECONDS_IN_YEAR = 31556952.0  # reference tracs/transcluster.py:5
+
+_CPU = jax.devices("cpu")[0]
+
+_K_CAP = 10000  # reference transcluster.hpp:207: while (... && k<10000)
+
+
+# ---------------------------------------------------------------------------
+# public scalar API — faithful to the reference's first variant
+# ---------------------------------------------------------------------------
+
+def lprob_k_given_N(N, k, delta, lamb, beta, lgamma):
+    """Log-probability of k intermediate hosts given N SNPs and time gap delta.
+
+    Matches reference ``lprob_k_given_N`` (src/transcluster.hpp:90-129),
+    including the passed-in lgamma table and the i-ascending logaddexp
+    accumulation order.  Returns (lprob, lhs).
+    """
+    lgamma = np.asarray(lgamma, dtype=np.float64)
+    N = int(N)
+    k = int(k)
+    delta = float(delta)
+    lamb = float(lamb)
+    beta = float(beta)
+
+    if delta > 0:
+        lprob = (N + 1) * math.log(lamb) - delta * (lamb + beta) + k * math.log(beta) - lgamma[k + 1]
+
+        pois_cdf = -math.inf
+        for i in range(N + 1):
+            pois_cdf = np.logaddexp(i * math.log(lamb * delta) - lgamma[i + 1], pois_cdf)
+        pois_cdf -= lamb * delta
+        lprob -= pois_cdf
+
+        integral = -math.inf
+        for i in range(N + k + 1):
+            integral = np.logaddexp(
+                lgamma[N + k + 1]
+                - lgamma[i + 1]
+                - lgamma[N + k - i + 1]
+                + (N + k - i) * math.log(delta)
+                + lgamma[i + 1]
+                - (i + 1) * math.log(lamb + beta),
+                integral,
+            )
+        integral -= lgamma[N + 1]
+        lhs = lprob
+        lprob += integral
+    else:
+        lprob = (
+            (N + 1) * math.log(lamb)
+            + k * math.log(beta)
+            + lgamma[N + k + 1]
+            - lgamma[N + 1]
+            - lgamma[k + 1]
+            - (N + k + 1) * math.log(lamb + beta)
+        )
+        lhs = lprob
+
+    return float(lprob), float(lhs)
+
+
+# ---------------------------------------------------------------------------
+# vectorised engine (variant 2 semantics, used by trans_dist)
+# ---------------------------------------------------------------------------
+
+def _masked_logsumexp(terms: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """logsumexp over last axis with a boolean mask.  NaN in an unmasked term
+    propagates (deliberate — see the delta==0 quirk in the module docstring)."""
+    t = jnp.where(mask, terms, -jnp.inf)
+    m = jnp.max(t, axis=-1)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.where(mask, jnp.exp(t - safe_m[..., None]), 0.0), axis=-1)
+    out = safe_m + jnp.log(s)
+    return jnp.where(jnp.isfinite(m), out, m)
+
+
+def _log_pois_cdf_sum(N: jnp.ndarray, delta: jnp.ndarray, lamb: float, cap: int) -> jnp.ndarray:
+    """log sum_{i=0..N} (lamb*delta)^i / i!   (NO exp(-lamb*delta) factor —
+    both call sites in the reference handle that factor themselves;
+    upper_bound_E omits it entirely, transcluster.hpp:178-185).
+
+    The sum is truncated at ``cap`` terms; the caller chooses cap so the
+    truncated tail is < e^-200 relative (Poisson pmf decays super-
+    exponentially past its mode at lamb*delta).
+    """
+    i = jnp.arange(cap + 1, dtype=jnp.float64)
+    # i=0 term is 0 * log(lamb*delta): NaN when delta == 0, exactly as in the
+    # reference C++ (transcluster.hpp:105,147,182).
+    terms = i[None, :] * jnp.log(lamb * delta)[:, None] - jax.lax.lgamma(i + 1.0)[None, :]
+    mask = i[None, :] <= N[:, None]
+    return _masked_logsumexp(terms, mask)
+
+
+def _log_integral_direct(M: jnp.ndarray, delta: jnp.ndarray, log_lb: float, cap: int) -> jnp.ndarray:
+    """log I(M) = log sum_{i=0..M} delta^(M-i)/((M-i)! (lamb+beta)^(i+1)),
+    evaluated as the equivalent sum over j=M-i (decaying past j ~ delta*(l+b)),
+    truncated at ``cap`` terms.  Valid for delta > 0 lanes only."""
+    j = jnp.arange(cap + 1, dtype=jnp.float64)
+    terms = (
+        j[None, :] * jnp.log(delta)[:, None]
+        - jax.lax.lgamma(j + 1.0)[None, :]
+        - (M[:, None] - j[None, :] + 1.0) * log_lb
+    )
+    mask = j[None, :] <= M[:, None]
+    return _masked_logsumexp(terms, mask)
+
+
+def _lprob2_given_logI(N, k, delta, lamb, beta, log_pois, log_I):
+    """Variant-2 log-prob (reference transcluster.hpp:131-170) with the
+    Poisson-cdf log-sum and log-integral supplied.  Returns (lprob, lhs)."""
+    lg = jax.lax.lgamma
+    log_lamb = math.log(lamb)
+    log_beta = math.log(beta)
+    log_lb = math.log(lamb + beta)
+
+    base_pos = (
+        (N + 1.0) * log_lamb
+        + k * log_beta
+        + lg(N + k + 1.0)
+        - lg(N + 1.0)
+        - lg(k + 1.0)
+        - delta * beta
+        - log_pois  # variant-2 pois_cdf has NO -lamb*delta (transcluster.hpp:144-149)
+    )
+    lprob_pos = base_pos + log_I
+    lhs_pos = base_pos
+
+    lprob_zero = (
+        (N + 1.0) * log_lamb
+        + k * log_beta
+        + lg(N + k + 1.0)
+        - lg(N + 1.0)
+        - lg(k + 1.0)
+        - (N + k + 1.0) * log_lb
+    )
+
+    pos = delta > 0
+    return (
+        jnp.where(pos, lprob_pos, lprob_zero),
+        jnp.where(pos, lhs_pos, lprob_zero),
+    )
+
+
+@partial(jax.jit, static_argnames=("lamb", "beta", "threshold_Ek", "cap_pois", "cap_int"))
+def _trans_dist_batch(N, delta, *, lamb, beta, threshold_Ek, cap_pois, cap_int):
+    """For a batch of unique (N SNPs, delta years) pairs, compute
+    (log p0, E(K)) with the reference's loop/termination semantics."""
+    N = N.astype(jnp.float64)
+    delta = delta.astype(jnp.float64)
+    log_lb = math.log(lamb + beta)
+
+    # Poisson log-sum used by both the k-loop (variant-2 lprob) and the E(K)
+    # upper bound; neither call site applies an exp(-lamb*delta) factor
+    # (transcluster.hpp:144-149, 178-185).
+    log_pois = _log_pois_cdf_sum(N, delta, lamb, cap_pois)
+
+    # log I(N): the k=0 integral (also the recurrence seed for the k-loop).
+    log_I_N = _log_integral_direct(N, delta, log_lb, cap_int)
+
+    # p0 = lprob(k=0)
+    p0, _ = _lprob2_given_logI(N, jnp.zeros_like(N), delta, lamb, beta, log_pois, log_I_N)
+
+    # E(K) upper bound (reference upper_bound_E, transcluster.hpp:173-188).
+    # NaN for delta == 0 lanes (0*log 0 inside log_pois) — reproduces the
+    # reference's single-iteration exit.
+    upper_bound = jnp.exp(
+        math.log(beta) + delta * lamb + jnp.log(N + 1.0) - (math.log(lamb) + log_pois)
+    )
+
+    def cond(state):
+        k, lprob, elprob, log_I, done = state
+        return jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        k, lprob, elprob, log_I, done = state
+        M = N + k  # M = N + k for this iteration's integral
+        log_I_next = jnp.logaddexp(
+            M * jnp.log(delta) - jax.lax.lgamma(M + 1.0) - log_lb,
+            log_I - log_lb,
+        )
+        lp_k, lhs_k = _lprob2_given_logI(N, k, delta, lamb, beta, log_pois, log_I_next)
+        lprob_new = jnp.logaddexp(lprob, lp_k + jnp.log(k))
+        elprob_new = jnp.logaddexp(
+            elprob, lhs_k + jnp.log(k) + delta * (lamb + beta) - (N + k + 1.0) * log_lb
+        )
+        diff_bound = upper_bound - jnp.exp(elprob_new)
+        # reference: while (diff_bound > threshold_Ek && k < 10000), k++ at end
+        done_new = done | jnp.logical_not(diff_bound > threshold_Ek) | (k + 1.0 >= _K_CAP)
+        keep = jnp.logical_not(done)
+        return (
+            jnp.where(keep, k + 1.0, k),
+            jnp.where(keep, lprob_new, lprob),
+            jnp.where(keep, elprob_new, elprob),
+            jnp.where(keep, log_I_next, log_I),
+            done_new,
+        )
+
+    ninf = jnp.full_like(N, -jnp.inf)
+    state0 = (jnp.ones_like(N), ninf, ninf, log_I_N, jnp.zeros_like(N, dtype=bool))
+    _, lprob, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    return p0, jnp.exp(lprob)
+
+
+def _sum_cap(peak: float, n_max: int) -> int:
+    """Number of series terms so the truncated tail is ~e^-200 of the total."""
+    cap = int(peak + 30.0 * math.sqrt(peak + 1.0) + 64.0)
+    return max(1, min(n_max, cap))
+
+
+def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
+    """Vectorised (log p0, E(K)) per pair — reference trans_dist
+    (src/transcluster.hpp:240-287).  The reference's per-(N, delta) hash-map
+    memoisation becomes a host-side unique + device batch + scatter."""
+    snpdiff = np.asarray(snpdiff, dtype=np.int64)
+    datediff = np.asarray(datediff, dtype=np.float64)
+    if snpdiff.size == 0:
+        return np.zeros(0), np.zeros(0)
+
+    keys = np.stack([snpdiff.astype(np.float64), datediff], axis=1)
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    uN = uniq[:, 0]
+    ud = uniq[:, 1]
+
+    max_N = int(uN.max())
+    max_d = float(ud.max())
+    cap_pois = _sum_cap(lamb * max_d, max_N)
+    cap_int = _sum_cap(max_d * (lamb + beta), max_N + _K_CAP)
+
+    with jax.default_device(_CPU):
+        p0_u, eK_u = _trans_dist_batch(
+            jnp.asarray(uN), jnp.asarray(ud),
+            lamb=float(lamb), beta=float(beta), threshold_Ek=float(threshold_Ek),
+            cap_pois=cap_pois, cap_int=cap_int,
+        )
+    p0_u = np.asarray(p0_u)
+    eK_u = np.asarray(eK_u)
+    return p0_u[inverse], eK_u[inverse]
+
+
+# ---------------------------------------------------------------------------
+# date glue — reference tracs/transcluster.py
+# ---------------------------------------------------------------------------
+
+def calculate_trans_prob(
+    sparse_snp_dist,
+    sample_dates,
+    K,
+    lamb,
+    beta,
+    samplenames=None,
+    log=False,
+    precision=0.01,
+):
+    """Python glue matching reference tracs/transcluster.py:8-41 (the ``K``
+    parameter is accepted-but-unused there too)."""
+    i = np.array(sparse_snp_dist[0])
+    j = np.array(sparse_snp_dist[1])
+    d = np.array(sparse_snp_dist[2], dtype=int)
+
+    nsamples = max(max(sparse_snp_dist[0]), max(sparse_snp_dist[1]))
+
+    reftime = date.fromisoformat("1970-01-01")
+    time_array = np.array(
+        [
+            (sample_dates[samplenames[s]][1] - reftime).total_seconds()
+            for s in range(nsamples + 1)
+        ]
+    )
+    time_diff = np.abs(time_array[i] - time_array[j]) / SECONDS_IN_YEAR
+
+    p0, eK = trans_dist(d, time_diff, lamb, beta, precision)
+
+    if not log:
+        p0 = np.exp(p0)
+
+    return p0, eK, time_diff

@@ -1,0 +1,184 @@
+"""IUPAC codec: FASTA sequences <-> 4-plane bit-packed allele tensors.
+
+Canonical device layout: ``planes`` is a ``[n_samples, 4, W] uint32`` tensor,
+where plane ``p`` in (A=0, C=1, G=2, T=3) holds one bit per genome position
+(site ``s`` lives in word ``s // 32``, bit ``s % 32``).  IUPAC ambiguity codes
+set multiple planes; ``N`` (and any unrecognised character, including ``X``
+and ``-``) sets all four — matching the reference loader semantics
+(reference src/pairsnp.hpp:107-198: switch with ``default:`` -> all four).
+
+This dense-bit layout is the TPU replacement for the reference's per-sequence
+``boost::dynamic_bitset`` quadruple: 0.5 bytes/site in HBM, `uint32` lanes for
+the VPU popcount path, and cheap on-device expansion into the inclusion-
+exclusion channels used by the MXU matmul path (see ops/pairsnp.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Sequence
+
+import numpy as np
+
+from tracs_tpu.io.fasta import read_fasta
+
+# bit order: bit0=A, bit1=C, bit2=G, bit3=T  (chosen to match the reference
+# align-stage little-endian np.packbits convention, tracs/align.py:285-323,
+# so nibble values index the same 16-entry IUPAC table)
+_A, _C, _G, _T = 1, 2, 4, 8
+
+_CHAR_TO_NIBBLE = {
+    "A": _A,
+    "C": _C,
+    "G": _G,
+    "T": _T,
+    "M": _A | _C,
+    "R": _A | _G,
+    "W": _A | _T,
+    "S": _C | _G,
+    "Y": _C | _T,
+    "K": _G | _T,
+    "V": _A | _C | _G,
+    "H": _A | _C | _T,
+    "D": _A | _G | _T,
+    "B": _C | _G | _T,
+    "N": _A | _C | _G | _T,
+}
+
+# nibble -> IUPAC character, with 0 -> 'X' (align-stage output convention,
+# tracs/align.py:306-323).  Note the *input* codec maps X back to N, exactly
+# like the reference C++ loader does.
+IUPAC_BY_NIBBLE = np.frombuffer(b"XACMGRSVTWYHKDBN", dtype="S1")
+
+NIBBLE_LUT = np.full(256, 15, dtype=np.uint8)  # default: N (all four planes)
+for ch, nib in _CHAR_TO_NIBBLE.items():
+    NIBBLE_LUT[ord(ch)] = nib
+    NIBBLE_LUT[ord(ch.lower())] = nib
+
+
+def iupac_code_for_mask(nibble: int) -> str:
+    """IUPAC character for a 4-bit allele-presence mask (bit0=A..bit3=T)."""
+    return IUPAC_BY_NIBBLE[nibble].decode()
+
+
+@dataclasses.dataclass
+class PackedAlignment:
+    """Bit-packed multiple sequence alignment.
+
+    planes : np.uint32 [n, 4, W]  allele-presence bit-planes (W = ceil(L/32),
+             padded tail bits are zero — i.e. "no allele", which every kernel
+             must treat as not-a-site)
+    length : true genome length L in sites
+    names  : per-sequence record names
+    """
+
+    planes: np.ndarray
+    length: int
+    names: list
+
+    @property
+    def n_seqs(self) -> int:
+        return self.planes.shape[0]
+
+    @property
+    def n_words(self) -> int:
+        return self.planes.shape[2]
+
+    def nibbles(self) -> np.ndarray:
+        """Expand to per-site 4-bit masks, shape [n, L] uint8."""
+        return unpack_planes_to_nibbles(self.planes, self.length)
+
+    def counts_n(self) -> np.ndarray:
+        """Per-sequence count of fully-ambiguous (N) sites, shape [n] int64.
+        Used in the comparable-sites formula (reference pairsnp.hpp:417-419)."""
+        n_mask = (
+            self.planes[:, 0] & self.planes[:, 1] & self.planes[:, 2] & self.planes[:, 3]
+        )
+        return popcount_words(n_mask).sum(axis=-1)
+
+
+def seqs_to_nibbles(seqs: Sequence[str | bytes]) -> np.ndarray:
+    """Vectorised chars -> 4-bit masks.  All sequences must share a length
+    (reference load_seqs raises on variable lengths, pairsnp.hpp:94-98)."""
+    if len(seqs) == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    first_len = len(seqs[0])
+    for s in seqs:
+        if len(s) != first_len:
+            raise ValueError("Error reading FASTA, variable sequence lengths!")
+    buf = np.empty((len(seqs), first_len), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        if isinstance(s, str):
+            s = s.encode("ascii")
+        buf[i] = np.frombuffer(s, dtype=np.uint8)
+    return NIBBLE_LUT[buf]
+
+
+def nibbles_to_planes(nibbles: np.ndarray) -> np.ndarray:
+    """[n, L] uint8 masks -> [n, 4, W] uint32 bit-planes (little bit order)."""
+    n, L = nibbles.shape
+    W = (L + 31) // 32
+    pad = W * 32 - L
+    if pad:
+        nibbles = np.pad(nibbles, ((0, 0), (0, pad)))
+    planes = np.empty((n, 4, W), dtype=np.uint32)
+    for p in range(4):
+        bits = (nibbles >> p) & 1  # [n, 32W] uint8
+        packed = np.packbits(bits, axis=-1, bitorder="little")  # [n, 4W] uint8
+        b = packed.reshape(n, W, 4).astype(np.uint32)
+        planes[:, p] = b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    return planes
+
+
+def unpack_planes_to_nibbles(planes: np.ndarray, length: int) -> np.ndarray:
+    """[n, 4, W] uint32 -> [n, L] uint8 4-bit masks."""
+    n, _, W = planes.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    out = np.zeros((n, W * 32), dtype=np.uint8)
+    for p in range(4):
+        bits = ((planes[:, p, :, None] >> shifts[None, None, :]) & 1).astype(np.uint8)
+        out |= bits.reshape(n, W * 32) << p
+    return out[:, :length]
+
+
+def popcount_words(words: np.ndarray) -> np.ndarray:
+    """Vectorised popcount of uint32 words (numpy host path)."""
+    v = words.astype(np.uint32).copy()
+    v = v - ((v >> 1) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+    v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+    return ((v * np.uint32(0x01010101)) >> 24).astype(np.int64)
+
+
+def pack_sequences(seqs: Sequence[str | bytes], names: Sequence[str] | None = None) -> PackedAlignment:
+    nib = seqs_to_nibbles(seqs)
+    planes = nibbles_to_planes(nib)
+    if names is None:
+        names = [f"seq{i}" for i in range(len(seqs))]
+    return PackedAlignment(planes=planes, length=nib.shape[1], names=list(names))
+
+
+def pack_fasta(path: str | os.PathLike) -> PackedAlignment:
+    """Load an aligned (equal-length) FASTA/FASTA.gz into bit-planes.
+
+    The native C++ fast path (src/tracs_native.cpp) is used when built;
+    falls back to the numpy packer.
+    """
+    from tracs_tpu.runtime.native import native_pack_fasta
+
+    packed = native_pack_fasta(path)
+    if packed is not None:
+        return packed
+    names, seqs = [], []
+    for name, seq in read_fasta(path):
+        names.append(name)
+        seqs.append(seq)
+    if not seqs:
+        raise ValueError(f"No sequences found in {path!r}")
+    return pack_sequences(seqs, names)
+
+
+def nibbles_to_string(nibbles: np.ndarray) -> str:
+    """[L] uint8 4-bit masks -> IUPAC string (0 -> 'X')."""
+    return IUPAC_BY_NIBBLE[nibbles].tobytes().decode("ascii")

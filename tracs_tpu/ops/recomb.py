@@ -1,0 +1,130 @@
+"""Recombination / HGT filter: per-pair windowed binomial clustering test.
+
+Reference semantics (src/pairsnp.hpp:223-318, ``filter_recomb`` +
+``range_count``): given a pair's mismatch positions,
+
+  * d <= 1            -> filtered distance = d
+  * p = d / L, window half-width w = clamp(int(1/p/2 + 1), 50, 5000),
+    significance threshold = 0.05 / d
+  * for each SNP at position x: count SNPs inside [x-w, x+w+1) and the span
+    from the first to the last in-window SNP inclusive (``range_count``
+    returns that span, not the window width — pairsnp.hpp:242).
+    Keep the SNP when the window holds only itself, or when
+    1 - BinomCDF(n=span, p, k=count) >= 0.05/d (not significantly clustered).
+
+Redesign: the reference rescans the SNP bitset per window (O(d) per SNP).
+Here mismatch bitsets are unpacked once to sorted position vectors and the
+window counts/spans come from two vectorised ``searchsorted`` calls — O(d log d)
+per pair — with the binomial survival function evaluated in one vectorised
+scipy call over every SNP of every pair in the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import binom
+
+from tracs_tpu.ops.packing import popcount_words
+
+_WIN_MIN = 50
+_WIN_MAX = 5000
+
+
+def mismatch_positions(words_row: np.ndarray) -> np.ndarray:
+    """uint32 word bitset -> sorted positions of set bits."""
+    bytes_ = words_row.view(np.uint8) if words_row.dtype == np.uint32 else words_row
+    bits = np.unpackbits(bytes_, bitorder="little")
+    return np.nonzero(bits)[0]
+
+
+def filter_recomb_single(positions: np.ndarray, length: int) -> int:
+    """Filtered SNP count for one pair given sorted mismatch positions."""
+    d = len(positions)
+    if d <= 1:
+        return d
+    p = d / length
+    w = int(1.0 / p / 2.0 + 1.0)
+    w = min(max(w, _WIN_MIN), _WIN_MAX)
+    thresh = 0.05 / d
+
+    lo = np.searchsorted(positions, positions - w, side="left")
+    hi = np.searchsorted(positions, positions + w + 1, side="left")
+    count = hi - lo
+    first = positions[lo]
+    last = positions[hi - 1]
+    span = last - first + 1
+
+    multi = count > 1
+    keep = ~multi
+    if np.any(multi):
+        pv = binom.sf(count[multi], span[multi], p)
+        keep_multi = pv >= thresh
+        keep = keep.astype(np.int64)
+        keep[multi] = keep_multi
+        return int(keep.sum())
+    return int(keep.sum())
+
+
+def filter_recomb_batch(mism_words: np.ndarray, dvals: np.ndarray, length: int) -> np.ndarray:
+    """Vectorised filter over a batch of pairs.
+
+    mism_words : uint32 [n_pairs, W] mismatch bitsets (padding bits cleared)
+    dvals      : per-pair SNP distance (== popcount of each bitset)
+    length     : alignment length L
+
+    Returns int64 [n_pairs] filtered distances.
+
+    All windowed statistics for the whole batch are evaluated in a single
+    flattened scipy ``binom.sf`` call.
+    """
+    n = mism_words.shape[0]
+    out = np.asarray(dvals, dtype=np.int64).copy()
+    if n == 0:
+        return out
+
+    todo = np.nonzero(out > 1)[0]
+    if todo.size == 0:
+        return out
+
+    # unpack all needed bitsets at once
+    bits = np.unpackbits(
+        mism_words[todo].view(np.uint8), axis=1, bitorder="little"
+    )
+    pair_idx, pos = np.nonzero(bits)
+
+    # per-pair parameters
+    d_t = out[todo].astype(np.float64)
+    p_t = d_t / length
+    w_t = (1.0 / p_t / 2.0 + 1.0).astype(np.int64)
+    w_t = np.clip(w_t, _WIN_MIN, _WIN_MAX)
+    thr_t = 0.05 / d_t
+
+    # segment boundaries of each pair's positions in the flat vector
+    starts = np.searchsorted(pair_idx, np.arange(todo.size), side="left")
+    ends = np.searchsorted(pair_idx, np.arange(todo.size), side="right")
+
+    w_flat = w_t[pair_idx]
+    # windowed counts via searchsorted restricted to each pair's segment:
+    # offset positions by pair_idx * (length + 2*WIN_MAX + 2) so windows can
+    # never cross segment boundaries, then one global searchsorted.
+    stride = length + 2 * _WIN_MAX + 2
+    gpos = pos + pair_idx * stride
+    lo = np.searchsorted(gpos, pos - w_flat + pair_idx * stride, side="left")
+    hi = np.searchsorted(gpos, pos + w_flat + 1 + pair_idx * stride, side="left")
+    count = hi - lo
+    first = pos[lo]
+    last = pos[hi - 1]
+    span = last - first + 1
+
+    multi = count > 1
+    keep = np.ones(len(pos), dtype=bool)
+    if np.any(multi):
+        pv = binom.sf(count[multi], span[multi], p_t[pair_idx[multi]])
+        keep[multi] = pv >= thr_t[pair_idx[multi]]
+
+    kept_per_pair = np.add.reduceat(keep.astype(np.int64), starts)
+    # reduceat quirk: empty segments copy the next element; d > 1 segments are
+    # never empty here, but guard anyway
+    kept_per_pair = np.where(ends > starts, kept_per_pair, 0)
+    out[todo] = kept_per_pair
+    return out
