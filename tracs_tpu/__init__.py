@@ -37,6 +37,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: first-compile latency on this platform is
+# high and flaky (remote compile service); cache compiled executables across
+# processes.  Disable with TRACS_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("TRACS_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "TRACS_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/tracs_tpu/jax")
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"
 
 from tracs_tpu.ops.packing import (  # noqa: E402
