@@ -1,0 +1,91 @@
+"""Headline benchmark: all-pairs SNP-distance throughput per chip.
+
+Workload (BASELINE.json north star): n samples x 1 Mb genomes, full
+pairwise SNP distance + comparable-sites matrices via the MXU channel-gram
+kernel.  The reference publishes no numbers (BASELINE.md), so vs_baseline
+is the measured speedup over a faithful CPU realisation of the reference's
+kernel (bit-packed AND/OR + popcount over uint64 words, numpy vectorised,
+scaled to all host cores — an optimistic stand-in for the OpenMP loop in
+reference src/pairsnp.hpp:380-421).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu(n=256, L=1_000_000, iters=3):
+    from tracs_tpu.ops.packing import PackedAlignment
+    from tracs_tpu.ops.pairsnp import snp_distance_dense
+
+    rng = np.random.default_rng(0)
+    W = (L + 31) // 32
+    planes = rng.integers(0, 2**32, size=(n, 4, W), dtype=np.uint64).astype(np.uint32)
+    packed = PackedAlignment(planes=planes, length=L, names=[str(i) for i in range(n)])
+
+    best = 0.0
+    for method in ("mxu", "popcount"):
+        snp_distance_dense(packed, method=method)  # warmup/compile
+        t0 = time.time()
+        for _ in range(iters):
+            snp_distance_dense(packed, method=method)
+        dt = (time.time() - t0) / iters
+        rate = n * n / dt
+        print(f"# {method}: {dt:.3f}s/sweep -> {rate:,.0f} pairs/s", file=sys.stderr)
+        best = max(best, rate)
+    return best
+
+
+def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
+    """Numpy realisation of the reference inner loop (pairsnp.hpp:395-421):
+    4x AND + 3x OR + popcount per uint64 word, row-blocked."""
+    rng = np.random.default_rng(0)
+    W64 = (L + 63) // 64
+    planes = rng.integers(0, 2**63, size=(n, 4, W64), dtype=np.uint64)
+
+    t0 = time.time()
+    for i in range(n_rows):
+        shared = planes[i, 0][None, :] & planes[:, 0]
+        shared |= planes[i, 1][None, :] & planes[:, 1]
+        shared |= planes[i, 2][None, :] & planes[:, 2]
+        shared |= planes[i, 3][None, :] & planes[:, 3]
+        d = L - np.bitwise_count(shared).sum(axis=1)
+        nmask_i = planes[i, 0] & planes[i, 1] & planes[i, 2] & planes[i, 3]
+        nmask = planes[:, 0] & planes[:, 1] & planes[:, 2] & planes[:, 3]
+        nn = L - np.bitwise_count(nmask_i[None, :] | nmask).sum(axis=1)
+    dt = time.time() - t0
+    single_thread = n_rows * n / dt
+    ncores = os.cpu_count() or 1
+    rate = single_thread * ncores  # optimistic linear-scaling OpenMP stand-in
+    print(
+        f"# cpu reference: {single_thread:,.0f} pairs/s/core x {ncores} cores "
+        f"= {rate:,.0f} pairs/s",
+        file=sys.stderr,
+    )
+    return rate
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "256"))
+    L = int(os.environ.get("BENCH_L", "1000000"))
+    tpu_rate = bench_tpu(n=n, L=L)
+    cpu_rate = bench_cpu_reference(n=n, L=L)
+    print(
+        json.dumps(
+            {
+                "metric": "pairwise comparisons/sec/chip (all-pairs SNP dist, 1Mb genomes)",
+                "value": round(tpu_rate, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,16 @@
 """Test configuration: force an 8-device CPU mesh so sharded code paths are
 exercised without TPU hardware (cf. SURVEY.md §4: the reference never tests
-multi-device because it has none; we bit-compare sharded vs single-device)."""
+multi-device because it has none; we bit-compare sharded vs single-device).
 
-import os
+NOTE: this environment's sitecustomize imports jax at interpreter startup
+(before conftest runs), so JAX_PLATFORMS env mutations are latched already —
+the platform must be forced through jax.config.update instead.
+"""
 
-# force CPU: the test suite must not depend on (or tunnel to) TPU hardware,
-# and the f64 numerics paths are CPU-only by design
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

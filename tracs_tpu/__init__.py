@@ -26,14 +26,19 @@ on the accelerator.
 
 import os
 
+import jax
+
 # The float64 model numerics (transcluster, Dirichlet-multinomial) run on the
 # JAX CPU backend; make sure one exists even when the environment pins
-# JAX_PLATFORMS to a TPU plugin.  Must happen before jax initialises backends.
-_platforms = os.environ.get("JAX_PLATFORMS")
-if _platforms and "cpu" not in _platforms.split(","):
-    os.environ["JAX_PLATFORMS"] = _platforms + ",cpu"
-
-import jax  # noqa: E402
+# JAX_PLATFORMS to a TPU plugin.  Env mutation is not enough: some
+# environments import jax from sitecustomize before user code runs, latching
+# the config — so update the config directly (safe until backends initialise).
+try:
+    _platforms = jax.config.jax_platforms
+    if _platforms and "cpu" not in _platforms.split(","):
+        jax.config.update("jax_platforms", _platforms + ",cpu")
+except Exception:  # pragma: no cover - backends already initialised
+    pass
 
 jax.config.update("jax_enable_x64", True)
 

@@ -65,6 +65,33 @@ def _expand_channels(words: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(n, ch, wc * 32)
 
 
+def _gram_chunk(wa: jnp.ndarray, wb: jnp.ndarray):
+    """Single-chunk signed channel-gram + quad-gram.
+
+    wa, wb : [na, 4, wc], [nb, 4, wc] uint32 packed planes
+    returns: signed [na, nb] int32 (= sum_S (-1)^|S| G_S), quad [na, nb] int32
+    """
+    na, nb = wa.shape[0], wb.shape[0]
+    signs = jnp.asarray(_SIGNS)
+    ya = _expand_channels(wa)  # [na, 15, S]
+    yb = _expand_channels(wb)  # [nb, 15, S]
+    zb = yb * signs[None, :, None]
+    s = ya.shape[-1]
+    g = jax.lax.dot_general(
+        ya.reshape(na, 15 * s),
+        zb.reshape(nb, 15 * s),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    gq = jax.lax.dot_general(
+        ya[:, _QUAD_IDX],
+        yb[:, _QUAD_IDX],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return g, gq
+
+
 @partial(jax.jit, static_argnames=("wc", "n_chunks"))
 def _gram_mxu(planes_a: jnp.ndarray, planes_b: jnp.ndarray, *, wc: int, n_chunks: int):
     """Signed channel-gram and quad-gram, accumulated over word chunks.
@@ -73,28 +100,12 @@ def _gram_mxu(planes_a: jnp.ndarray, planes_b: jnp.ndarray, *, wc: int, n_chunks
     returns  : signed_gram [na, nb] int32, quad_gram [na, nb] int32
     """
     na, nb = planes_a.shape[0], planes_b.shape[0]
-    signs = jnp.asarray(_SIGNS)
 
     def body(carry, cidx):
         acc, accq = carry
         wa = jax.lax.dynamic_slice_in_dim(planes_a, cidx * wc, wc, axis=2)
         wb = jax.lax.dynamic_slice_in_dim(planes_b, cidx * wc, wc, axis=2)
-        ya = _expand_channels(wa)  # [na, 15, S]
-        yb = _expand_channels(wb)  # [nb, 15, S]
-        zb = yb * signs[None, :, None]
-        s = ya.shape[-1]
-        g = jax.lax.dot_general(
-            ya.reshape(na, 15 * s),
-            zb.reshape(nb, 15 * s),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        gq = jax.lax.dot_general(
-            ya[:, _QUAD_IDX],
-            yb[:, _QUAD_IDX],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        g, gq = _gram_chunk(wa, wb)
         return (acc + g, accq + gq), None
 
     init = (
@@ -140,7 +151,7 @@ def snp_distance_dense(
     b: PackedAlignment | None = None,
     *,
     method: str = "mxu",
-    chunk_sites: int = 1 << 19,
+    chunk_sites: int = 1 << 17,
     row_block: int = 2048,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Dense all-pairs SNP distance + comparable-site matrices.
@@ -160,7 +171,11 @@ def snp_distance_dense(
     cnt_b = np.asarray(b.counts_n()) if b is not a else cnt_a
 
     if method == "mxu":
+        # keep chunks lane-aligned (multiples of 256 words = 8192 sites);
+        # odd chunk shapes trigger pathological XLA compiles on some backends
         wc = max(8, min(chunk_sites // 32, a.n_words))
+        if wc > 256:
+            wc = (wc // 256) * 256
         n_chunks = math.ceil(a.n_words / wc)
         pa = _pad_words(a.planes, wc * n_chunks)
         pb = _pad_words(b.planes, wc * n_chunks) if b is not a else pa

@@ -1,0 +1,55 @@
+"""Device-mesh helpers: sample-block (dp) x genome-position (sp) meshes.
+
+The reference's parallelism is an OpenMP parallel-for over pair-matrix rows
+on one CPU (reference src/pairsnp.hpp:380-432).  The TPU-native equivalents:
+
+* ``dp`` — sample-block data parallelism: each device owns a block of
+  samples; blocks rotate around a ring (``ppermute``) so every pair of
+  blocks meets exactly once per sweep.  This replaces the OpenMP row loop
+  and scales all-pairs workloads past one chip's HBM.
+* ``sp`` — genome-position sharding: the packed position axis is split
+  across devices; per-pair counts are commutative sums of per-shard
+  popcounts/grams, reduced with ``psum``.  This is the sequence-parallel
+  axis for very long or many-reference alignments.
+
+Multi-host: ``jax.distributed.initialize()`` + the same mesh spanning all
+processes; dp rides DCN across hosts, sp stays on ICI within a slice.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def best_mesh_shape(n_devices: int, n_samples: int | None = None, n_words: int | None = None):
+    """Pick (dp, sp) for n_devices.  Prefers dp (sample blocks) since the
+    all-pairs workload is quadratic in samples and only linear in positions;
+    sp>1 is chosen when sample blocks would be degenerate (few samples,
+    long genomes)."""
+    if n_devices <= 1:
+        return 1, 1
+    # prefer all-dp unless samples are scarce relative to devices
+    if n_samples is not None and n_samples < 2 * n_devices:
+        # give positions the surplus
+        dp = max(1, n_samples // 2)
+        while n_devices % dp:
+            dp -= 1
+        return dp, n_devices // dp
+    return n_devices, 1
+
+
+def make_mesh(dp: int, sp: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if dp * sp > len(devices):
+        raise ValueError(f"mesh {dp}x{sp} needs {dp*sp} devices, have {len(devices)}")
+    dev = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(dev, ("dp", "sp"))
+
+
+def pad_to(x: int, mult: int) -> int:
+    return int(math.ceil(x / mult) * mult)
