@@ -164,4 +164,4 @@ def calculate_posteriors(counts, alphas, keep, expected):
         out = _posteriors_kernel(
             jnp.asarray(counts), jnp.asarray(alphas), bool(keep), float(expected)
         )
-    return np.asarray(out)
+    return np.array(out)  # writable copy (callers mutate, align.py:599-613)
