@@ -137,6 +137,102 @@ def generate_reads(fasta, outputfile, coverage=10, read_length=300):
 # alignment + pileup (minimap2 | samtools | htsbox)
 # ---------------------------------------------------------------------------
 
+def align_and_pileup_composite(
+    references: dict,
+    outdir,
+    prefix,
+    r1,
+    r2=None,
+    aligner="minimap2",
+    minimap_preset="sr",
+    minimap_params=None,
+    Q=0,
+    q=0,
+    l=0,
+    S=0,
+    V=1,
+    T=0,
+    n_cpu=1,
+    lowdisk=True,
+):
+    """Composite-reference mode (reference tracs/pileup.py:9-112): all
+    reference genomes are concatenated with ``ref@contig`` renaming, reads
+    are aligned ONCE against the composite, and the pileup is split back out
+    per reference.  One aligner pass instead of one per reference — the
+    better default for metagenomic samples hitting many references."""
+    if aligner != "minimap2":
+        raise ValueError("Minimap2 is the only currently supported aligner!")
+    for tool in ("minimap2", "samtools", "htsbox"):
+        require_tool(tool)
+
+    logging.info("Generating composite alignment and pileup...")
+
+    composite = os.path.join(outdir, "composite_reference.fasta")
+    with open(composite, "w") as outfile:
+        for ref, path in references.items():
+            for name, seq in read_fasta(path):
+                outfile.write(">" + str(ref) + "@" + name + "\n" + seq + "\n")
+
+    import tempfile
+
+    temp_file = tempfile.NamedTemporaryFile(delete=False, dir=outdir)
+    temp_file.close()
+
+    cmd = "minimap2"
+    cmd += " -t " + str(n_cpu)
+    cmd += " -p 1 -N 10"
+    if minimap_params is not None:
+        cmd += " " + minimap_params
+    else:
+        cmd += " -ax " + minimap_preset
+    cmd += " " + composite
+    cmd += " " + r1
+    if r2 is not None:
+        cmd += " " + r2
+    cmd += (
+        " | samtools view -S -b --threads "
+        + str(n_cpu)
+        + " - | samtools sort --threads "
+        + str(n_cpu)
+        + " - > "
+        + temp_file.name
+    )
+    run(cmd)
+
+    pile = os.path.join(outdir, "composite_pileup.txt")
+    cmd = "htsbox pileup -C -s 0"
+    cmd += " -f " + composite
+    cmd += " -Q " + str(Q)
+    cmd += " -q " + str(q)
+    cmd += " -l " + str(l)
+    cmd += " -S " + str(S)
+    cmd += " -V " + str(V)
+    cmd += " -T " + str(T)
+    cmd += " " + temp_file.name
+    cmd += " > " + pile
+    run(cmd)
+
+    # split per reference, stripping the ref@ prefix back off contig names
+    writers = {}
+    try:
+        for ref in references:
+            writers[str(ref)] = gzip.open(
+                prefix + "_ref_" + str(ref) + "_pileup.txt.gz", "wt"
+            )
+        with open(pile, "r") as infile:
+            for line in infile:
+                head, _, rest = line.partition("@")
+                w = writers.get(head)
+                if w is not None:
+                    w.write(rest)
+    finally:
+        for w in writers.values():
+            w.close()
+
+    os.remove(temp_file.name)
+    return
+
+
 def align_and_pileup(
     reference,
     outdir,
