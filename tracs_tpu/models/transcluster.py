@@ -107,6 +107,24 @@ def lprob_k_given_N(N, k, delta, lamb, beta, lgamma):
     return float(lprob), float(lhs)
 
 
+def upper_bound_E(delta, lamb, beta, N, lgamma=None):
+    """Analytic upper bound on E(K) (reference transcluster.hpp:173-188).
+    ``lgamma`` accepted for signature parity; lgamma is evaluated directly."""
+    import math as _m
+
+    pois = -_m.inf
+    for i in range(int(N) + 1):
+        pois = np.logaddexp(i * _m.log(lamb * delta) - _m.lgamma(i + 1), pois)
+    return _m.exp(_m.log(beta) + delta * lamb + _m.log(N + 1) - (_m.log(lamb) + pois))
+
+
+def expected_k(N, delta, lamb, beta, threshold_Ek=1e-6):
+    """E(K): expected intermediate hosts for one (N SNPs, delta years) pair
+    (reference transcluster.hpp:191-238 semantics, vectorised engine)."""
+    _, eK = trans_dist([int(N)], [float(delta)], lamb, beta, threshold_Ek)
+    return float(eK[0])
+
+
 # ---------------------------------------------------------------------------
 # vectorised engine (variant 2 semantics, used by trans_dist)
 # ---------------------------------------------------------------------------
@@ -283,6 +301,33 @@ def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
     p0_u = np.asarray(p0_u)
     eK_u = np.asarray(eK_u)
     return p0_u[inverse], eK_u[inverse]
+
+
+class TransClusterCache:
+    """Process-level memo for (N, delta) -> (log p0, E(K)) across streamed
+    row blocks — the streaming analogue of the reference's in-call hash maps
+    (transcluster.hpp:245-246), so repeated pairs cost one device eval."""
+
+    def __init__(self, lamb, beta, threshold_Ek=1e-6):
+        self.lamb = float(lamb)
+        self.beta = float(beta)
+        self.threshold_Ek = float(threshold_Ek)
+        self._memo: dict[tuple[int, float], tuple[float, float]] = {}
+
+    def lookup(self, snpdiff, datediff):
+        snpdiff = np.asarray(snpdiff, dtype=np.int64)
+        datediff = np.asarray(datediff, dtype=np.float64)
+        keys = list(zip(snpdiff.tolist(), datediff.tolist()))
+        novel = sorted({k for k in keys if k not in self._memo})
+        if novel:
+            ns = np.array([k[0] for k in novel], dtype=np.int64)
+            ds = np.array([k[1] for k in novel], dtype=np.float64)
+            p0, eK = trans_dist(ns, ds, self.lamb, self.beta, self.threshold_Ek)
+            for k, p, e in zip(novel, p0, eK):
+                self._memo[k] = (float(p), float(e))
+        p0 = np.array([self._memo[k][0] for k in keys])
+        eK = np.array([self._memo[k][1] for k in keys])
+        return p0, eK
 
 
 # ---------------------------------------------------------------------------

@@ -227,6 +227,64 @@ def mismatch_words(a: PackedAlignment, b: PackedAlignment, pairs_i, pairs_j) -> 
     return mism
 
 
+def pairsnp_stream(
+    fasta: Sequence[str] | Sequence[PackedAlignment],
+    dist: int = INT32_MAX,
+    filter: bool = False,
+    *,
+    method: str = "mxu",
+    row_block: int = 1024,
+    start_row: int = 0,
+):
+    """Streaming COO emission for large all-pairs runs.
+
+    Yields ``(r0, r1, names, rows, cols, dvals, filt, nn)`` per row block
+    (numpy arrays, reference row-major order within and across blocks).
+    Host memory stays O(row_block * n) regardless of sample count, and a
+    caller persisting the last completed ``r1`` can resume an interrupted
+    run from that row (the tile-cursor checkpoint story for week-long
+    all-pairs sweeps).
+    """
+    from tracs_tpu.ops.recomb import filter_recomb_batch
+
+    if len(fasta) < 1 or len(fasta) > 2:
+        raise ValueError("Invalid number of fasta files!")
+    packed = [p if isinstance(p, PackedAlignment) else pack_fasta(p) for p in fasta]
+    a = packed[0]
+    if len(packed) == 2:
+        b = packed[1]
+        if a.length != b.length:
+            raise ValueError("Error reading FASTA, variable sequence lengths!")
+        names = a.names + b.names
+        col_offset = a.n_seqs
+        triangle = False
+    else:
+        b = a
+        names = a.names
+        col_offset = 0
+        triangle = True
+
+    for r0 in range(start_row, a.n_seqs, row_block):
+        r1 = min(a.n_seqs, r0 + row_block)
+        block = PackedAlignment(a.planes[r0:r1], a.length, a.names[r0:r1])
+        D, NN = snp_distance_dense(block, b, method=method)
+        mask = D <= dist
+        if triangle:
+            cols_idx = np.arange(b.n_seqs)[None, :]
+            rows_idx = np.arange(r0, r1)[:, None]
+            mask &= cols_idx > rows_idx
+        rows, cols = np.nonzero(mask)
+        dvals = D[rows, cols].astype(np.int64)
+        nvals = NN[rows, cols].astype(np.int64)
+        rows = rows + r0
+        if filter and len(rows):
+            mism = mismatch_words(a, b, rows, cols)
+            filt = filter_recomb_batch(mism, dvals, a.length)
+        else:
+            filt = np.zeros(len(rows), dtype=np.int64)
+        yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
+
+
 def pairsnp(
     fasta: Sequence[str] | Sequence[PackedAlignment],
     n_threads: int = 1,

@@ -16,6 +16,8 @@ import logging
 import os
 from datetime import date
 
+import numpy as np
+
 from tracs_tpu.models.transcluster import calculate_trans_prob
 from tracs_tpu.ops.pairsnp import INT32_MAX, pairsnp
 from tracs_tpu.utils import add_loglevel_arg, check_positive_float, check_positive_int, setup_logging
@@ -89,6 +91,19 @@ def distance_parser(parser):
         type=check_positive_float, default=0.01,
     )
 
+    scale = parser.add_argument_group("Scale options")
+    scale.add_argument(
+        "--row-block", dest="row_block", type=check_positive_int, default=None,
+        help="Stream the all-pairs computation in row blocks of this many "
+             "samples (bounds host memory for very large runs and enables "
+             "--resume). Default: whole matrix at once.",
+    )
+    scale.add_argument(
+        "--resume", dest="resume", action="store_true", default=False,
+        help="Resume an interrupted --row-block run from the cursor file "
+             "written next to the output.",
+    )
+
     parser.add_argument(
         "-t", "--threads", dest="n_cpu",
         help="number of threads to use (default=1)",
@@ -103,6 +118,7 @@ def distance(args):
     setup_logging(args.loglevel)
 
     logging.info("Loading metadata...")
+    dates = None
     if args.metadata is not None:
         dates = {}
         with open(args.metadata, "r") as infile:
@@ -110,6 +126,9 @@ def distance(args):
             for line in infile:
                 line = line.strip().split(",")
                 dates[line[0]] = (line[1], date.fromisoformat(line[1]))
+
+    if getattr(args, "row_block", None):
+        return _distance_streaming(args, dates)
 
     logging.info("Estimating transmission distances...")
 
@@ -182,6 +201,93 @@ def distance(args):
                         )
                         + "\n"
                     )
+    return
+
+
+def _distance_streaming(args, dates):
+    """Row-block streaming driver for very large all-pairs runs: bounded
+    host memory, incremental CSV writes, and a cursor file so interrupted
+    sweeps resume at the last completed block (SURVEY.md §5 checkpoint
+    story).  Output rows are identical to the non-streaming path."""
+    import json
+
+    from tracs_tpu.models.transcluster import SECONDS_IN_YEAR, TransClusterCache
+    from tracs_tpu.ops.pairsnp import pairsnp_stream
+    from tracs_tpu.runtime.profiling import phase, rate_logger
+    from datetime import date as _date
+
+    cursor_path = args.output_file + ".cursor"
+    cursor = {"msa_index": 0, "next_row": 0}
+    mode = "w"
+    if args.resume and os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cursor = json.load(fh)
+        mode = "a"
+        logging.info("Resuming from %s", cursor)
+
+    cache = TransClusterCache(args.clock_rate, args.trans_rate, args.precision)
+    reftime = _date.fromisoformat("1970-01-01")
+
+    def secs(name):
+        return (dates[name][1] - reftime).total_seconds()
+
+    with open(args.output_file, mode) as outfile:
+        if mode == "w":
+            outfile.write(
+                "sampleA,sampleB,date difference,SNP distance,transmission "
+                "distance,expected K,filtered SNP distance,sites considered,MSA file\n"
+            )
+        for mi, msa in enumerate(args.msa_files):
+            if mi < cursor["msa_index"]:
+                continue
+            start_row = cursor["next_row"] if mi == cursor["msa_index"] else 0
+            ref = os.path.basename(msa).split(".")[0].replace("_combined", "")
+            msas = [msa, args.msa_db] if args.msa_db is not None else [msa]
+            logging.info("Streaming pairwise distances for %s", msa)
+            log_rate = rate_logger("pairs")
+            for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
+                msas, dist=args.snp_threshold, filter=args.recomb_filter,
+                row_block=args.row_block, start_row=start_row,
+            ):
+                with phase("block rows [%d,%d): %d pairs" % (r0, r1, len(rows))):
+                    if dates is not None and len(rows):
+                        dist_col = filt if args.recomb_filter else dvals
+                        datediff = np.abs(
+                            np.array([secs(names[i]) for i in rows])
+                            - np.array([secs(names[j]) for j in cols])
+                        ) / SECONDS_IN_YEAR
+                        p0, eK = cache.lookup(dist_col, datediff)
+                        p0 = np.exp(p0)
+                        for k in range(len(rows)):
+                            if (args.trans_threshold is None) or (
+                                args.trans_threshold >= eK[k]
+                            ):
+                                filt_s = str(filt[k]) if args.recomb_filter else "NA"
+                                outfile.write(
+                                    ",".join([
+                                        names[rows[k]], names[cols[k]],
+                                        str(datediff[k]), str(int(dvals[k])),
+                                        str(p0[k]), str(eK[k]), filt_s,
+                                        str(nn[k]), ref,
+                                    ]) + "\n"
+                                )
+                    else:
+                        for k in range(len(rows)):
+                            outfile.write(
+                                ",".join([
+                                    names[rows[k]], names[cols[k]], "NA",
+                                    str(int(dvals[k])), "NA", "NA",
+                                    str(filt[k]), str(nn[k]), ref,
+                                ]) + "\n"
+                            )
+                    outfile.flush()
+                    with open(cursor_path, "w") as fh:
+                        json.dump({"msa_index": mi, "next_row": r1}, fh)
+                log_rate((r1 - r0) * (len(names) - r0))
+            cursor = {"msa_index": mi + 1, "next_row": 0}
+    if os.path.exists(cursor_path):
+        os.remove(cursor_path)
+    logging.info("Streaming distance run complete.")
     return
 
 
