@@ -182,3 +182,71 @@ def pack_fasta(path: str | os.PathLike) -> PackedAlignment:
 def nibbles_to_string(nibbles: np.ndarray) -> str:
     """[L] uint8 4-bit masks -> IUPAC string (0 -> 'X')."""
     return IUPAC_BY_NIBBLE[nibbles].tobytes().decode("ascii")
+
+
+@dataclasses.dataclass
+class SplitAlignment:
+    """Match-decomposed layout for the fast distance kernel (ops/pairsnp.py):
+
+        match(u, v) = sum_x ex_x(u) ex_x(v)            [4 dense channels]
+                      - n(u) n(v) + n(u) + n(v)        [1 dense channel + counts]
+                      + partial-ambiguity correction   [10 channels, gathered]
+
+    where ``ex`` are the N-exclusive singleton planes (plane & ~N-mask) and
+    the correction channels are nonzero only at sites where some sample holds
+    a 2- or 3-bit IUPAC code — gathered into a compact [n, 4, Wp] tensor.
+    ~5 MACs/site instead of the 15 of the general inclusion-exclusion gram.
+    """
+
+    excl: np.ndarray      # [n, 4, W] uint32: singleton planes with N sites cleared
+    nmask: np.ndarray     # [n, W]   uint32: N (all-four) mask
+    partial: np.ndarray   # [n, 4, Wp] uint32: raw planes gathered at partial sites
+    cnt_n: np.ndarray     # [n] int64: per-sample N counts
+    length: int
+    n_partial: int
+    names: list
+
+    @property
+    def n_seqs(self) -> int:
+        return self.excl.shape[0]
+
+
+def split_alignment(packed: PackedAlignment) -> SplitAlignment:
+    """Build the SplitAlignment layout (host, once per alignment)."""
+    p = packed.planes
+    a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    all4 = a & c & g & t
+    ge2 = (a & c) | (a & g) | (a & t) | (c & g) | (c & t) | (g & t)
+    partial_words = (ge2 & ~all4).astype(np.uint32)
+    global_partial = np.bitwise_or.reduce(partial_words, axis=0)  # [W]
+
+    excl = (p & ~all4[:, None, :]).astype(np.uint32)
+    cnt_n = popcount_words(all4).sum(axis=-1)
+
+    # gather raw planes at partial sites (usually a tiny fraction)
+    bits = np.unpackbits(
+        global_partial.view(np.uint8), bitorder="little"
+    )[: packed.length]
+    idx = np.nonzero(bits)[0]
+    n_partial = len(idx)
+    if n_partial:
+        word = (idx >> 5).astype(np.int64)
+        bit = (idx & 31).astype(np.uint32)
+        # gather the EXCLUSIVE planes: an N sample must contribute zero to
+        # the partial-ambiguity correction channels (its match is fully
+        # accounted for by the n term)
+        vals = ((excl[:, :, word] >> bit[None, None, :]) & 1).astype(np.uint8)  # [n,4,P]
+        Wp = (n_partial + 31) // 32
+        padded = np.zeros((p.shape[0], 4, Wp * 32), dtype=np.uint8)
+        padded[:, :, :n_partial] = vals
+        packed_bytes = np.packbits(padded, axis=-1, bitorder="little")
+        b = packed_bytes.reshape(p.shape[0], 4, Wp, 4).astype(np.uint32)
+        partial = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    else:
+        partial = np.zeros((p.shape[0], 4, 1), dtype=np.uint32)
+
+    return SplitAlignment(
+        excl=excl, nmask=all4.astype(np.uint32), partial=partial,
+        cnt_n=cnt_n, length=packed.length, n_partial=n_partial,
+        names=packed.names,
+    )

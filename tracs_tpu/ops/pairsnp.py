@@ -33,6 +33,7 @@ Both accumulate exactly in int32; results are bit-identical to the reference.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Sequence
 
@@ -59,10 +60,7 @@ def _expand_channels(words: jnp.ndarray) -> jnp.ndarray:
             low = s & (-s)  # lowest set bit
             prods[s] = prods[low] & prods[s ^ low]
     cw = jnp.stack([prods[s] for s in _SUBSETS], axis=1)  # [n, 15, wc] uint32
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((cw[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
-    n, ch, wc, _ = bits.shape
-    return bits.reshape(n, ch, wc * 32)
+    return _unpack_bits(cw)
 
 
 def _gram_chunk(wa: jnp.ndarray, wb: jnp.ndarray):
@@ -98,22 +96,199 @@ def _gram_mxu(planes_a: jnp.ndarray, planes_b: jnp.ndarray, *, wc: int, n_chunks
 
     planes_* : [n, 4, n_chunks*wc] uint32
     returns  : signed_gram [na, nb] int32, quad_gram [na, nb] int32
+
+    The chunk loop is unrolled (static trip count): a lax.scan here measured
+    ~50-90x slower end-to-end on the TPU backend — the scan carry blocks the
+    dot pipeline — while unrolled chunks let XLA overlap expansion and MXU.
     """
     na, nb = planes_a.shape[0], planes_b.shape[0]
-
-    def body(carry, cidx):
-        acc, accq = carry
-        wa = jax.lax.dynamic_slice_in_dim(planes_a, cidx * wc, wc, axis=2)
-        wb = jax.lax.dynamic_slice_in_dim(planes_b, cidx * wc, wc, axis=2)
+    W = planes_a.shape[2]
+    acc = jnp.zeros((na, nb), jnp.int32)
+    accq = jnp.zeros((na, nb), jnp.int32)
+    for c in range(n_chunks):
+        if c:
+            # serialise chunks: otherwise XLA schedules every chunk's channel
+            # expansion concurrently and peak HBM = sum of all chunk temps
+            planes_a, planes_b, acc, accq = jax.lax.optimization_barrier(
+                (planes_a, planes_b, acc, accq)
+            )
+        end = min((c + 1) * wc, W)
+        wa = jax.lax.slice_in_dim(planes_a, c * wc, end, axis=2)
+        wb = jax.lax.slice_in_dim(planes_b, c * wc, end, axis=2)
         g, gq = _gram_chunk(wa, wb)
-        return (acc + g, accq + gq), None
-
-    init = (
-        jnp.zeros((na, nb), jnp.int32),
-        jnp.zeros((na, nb), jnp.int32),
-    )
-    (acc, accq), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        acc = acc + g
+        accq = accq + gq
     return acc, accq
+
+
+def _unpack_bits(words: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] uint32 -> [..., W*32] int8 bits (little bit order).
+
+    Shifts on a byte view, not the uint32 words: the shift intermediate is
+    then 1 byte/bit instead of 4 (the 4-byte version OOMs HBM on large
+    chunks via XLA temp copies)."""
+    bytes_ = jax.lax.bitcast_convert_type(words, jnp.uint8)  # [..., W, 4]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = ((bytes_[..., None] >> shifts) & jnp.uint8(1)).astype(jnp.int8)
+    return bits.reshape(*words.shape[:-1], words.shape[-1] * 32)
+
+
+def _gram_split_chunk(excl_a, n_a, excl_b, n_b):
+    """Dense part of the split decomposition for one word chunk, as ONE
+    signed 5-channel matmul: channels [ex_A..ex_T, N] on the left and
+    [ex_A..ex_T, -N] on the right give G4 - Gn directly.
+
+    excl_* : [n, 4, wc] uint32 N-exclusive singleton planes
+    n_*    : [n, wc] uint32 N masks
+    returns G4-Gn [na, nb] int32
+    """
+    na, nb = excl_a.shape[0], excl_b.shape[0]
+    ya = jnp.concatenate([_unpack_bits(excl_a), _unpack_bits(n_a)[:, None, :]], axis=1)
+    zb = jnp.concatenate(
+        [_unpack_bits(excl_b), -_unpack_bits(n_b)[:, None, :]], axis=1
+    )
+    return jax.lax.dot_general(
+        ya.reshape(na, -1), zb.reshape(nb, -1),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+
+
+# partial-correction channels: AND-products over plane pairs (sign -1) and
+# plane triples (sign +1); quad is structurally zero on exclusive planes
+_PAIR_SUBSETS = [s for s in range(1, 16) if bin(s).count("1") == 2]
+_TRIPLE_SUBSETS = [s for s in range(1, 16) if bin(s).count("1") == 3]
+_PARTIAL_SIGNS = np.array([-1] * 6 + [1] * 4, dtype=np.int8)
+
+
+@jax.jit
+def _gram_partial(part_a: jnp.ndarray, part_b: jnp.ndarray):
+    """Correction gram over gathered partial-ambiguity sites.
+
+    part_* : [n, 4, Wp] uint32 exclusive planes at partial sites
+    returns [na, nb] int32 = sum_{|S|=2} -G_S + sum_{|S|=3} +G_S (negated
+    sign convention folded: result ADDs to the match count)
+    """
+    def chans(p):
+        planes = {1: p[:, 0], 2: p[:, 1], 4: p[:, 2], 8: p[:, 3]}
+        prods = {}
+        for s in _PAIR_SUBSETS + _TRIPLE_SUBSETS:
+            low = s & (-s)
+            rest = s ^ low
+            prods[s] = planes[low] & (prods[rest] if rest in prods else planes[rest])
+        return jnp.stack([prods[s] for s in _PAIR_SUBSETS + _TRIPLE_SUBSETS], axis=1)
+
+    na, nb = part_a.shape[0], part_b.shape[0]
+    ya = _unpack_bits(chans(part_a)).reshape(na, -1)
+    yb = _unpack_bits(chans(part_b))
+    zb = (yb * jnp.asarray(_PARTIAL_SIGNS)[None, :, None]).reshape(nb, -1)
+    return jax.lax.dot_general(
+        ya, zb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("wc", "n_chunks", "with_nn"))
+def _dense_split(excl_a, n_a, excl_b, n_b, *, wc: int, n_chunks: int, with_nn: bool):
+    """Unrolled chunk loop — see _gram_mxu for why not lax.scan."""
+    na, nb = excl_a.shape[0], excl_b.shape[0]
+    W = excl_a.shape[2]
+    acc = jnp.zeros((na, nb), jnp.int32)
+    accn = jnp.zeros((na, nb), jnp.int32)
+    for c in range(n_chunks):
+        if c:
+            # serialise chunks to bound peak HBM (see _gram_mxu)
+            excl_a, n_a, excl_b, n_b, acc, accn = jax.lax.optimization_barrier(
+                (excl_a, n_a, excl_b, n_b, acc, accn)
+            )
+        end = min((c + 1) * wc, W)
+        ea = jax.lax.slice_in_dim(excl_a, c * wc, end, axis=2)
+        eb = jax.lax.slice_in_dim(excl_b, c * wc, end, axis=2)
+        ma = jax.lax.slice_in_dim(n_a, c * wc, end, axis=1)
+        mb = jax.lax.slice_in_dim(n_b, c * wc, end, axis=1)
+        acc = acc + _gram_split_chunk(ea, ma, eb, mb)
+        if with_nn:
+            an = _unpack_bits(ma)
+            bn = _unpack_bits(mb)
+            accn = accn + jax.lax.dot_general(
+                an, bn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+    return acc, accn
+
+
+def _split_device(sa, wp_target: int | None = None):
+    """Device-resident (and cached) padded copies of a SplitAlignment.
+    Host->device transfer happens ONCE per alignment — on a tunneled TPU the
+    re-upload otherwise dominates the sweep time."""
+    Wpad = ((sa.excl.shape[2] + 255) // 256) * 256
+    cache = getattr(sa, "_dev_cache", None)
+    if cache is None or cache[0] != Wpad:
+        ea = jnp.asarray(_pad_words(sa.excl, Wpad))
+        nm = jnp.asarray(np.pad(sa.nmask, ((0, 0), (0, Wpad - sa.nmask.shape[1]))))
+        pt = jnp.asarray(sa.partial)
+        cache = (Wpad, ea, nm, pt)
+        sa._dev_cache = cache
+    return cache
+
+
+def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, with_nn=True):
+    """(D, NN) from SplitAlignment layouts — the fast path (~5 MACs/site for
+    consensus-style data).
+
+    matches = (G4 - Gn) + Gpartial + cntN_i + cntN_j ;  D = L - matches
+    NN = L - cntN_i - cntN_j + Gn   (skipped when with_nn=False — callers
+    that only need NN on threshold-surviving pairs use comparable_sites_pairs)
+    """
+    if sb is None:
+        sb = sa
+    if sa.length != sb.length:
+        raise ValueError("alignments must share sequence length")
+    L = sa.length
+
+    Wpad, ea, na_mask, pa = _split_device(sa)
+    if sb is sa:
+        eb, nb_mask, pb = ea, na_mask, pa
+    else:
+        Wpad_b, eb, nb_mask, pb = _split_device(sb)
+        assert Wpad_b == Wpad
+
+    if chunk_sites is None:
+        chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 5)
+    wc = max(8, min(chunk_sites // 32, Wpad))
+    if wc > 256:
+        wc = (wc // 256) * 256
+    n_chunks = math.ceil(Wpad / wc)
+
+    m, gn = _dense_split(
+        ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, with_nn=with_nn,
+    )
+    m = np.asarray(m)
+
+    if sa.n_partial or sb.n_partial:
+        wp = max(pa.shape[2], pb.shape[2])
+        gp = np.asarray(
+            _gram_partial(
+                jnp.asarray(_pad_words(np.asarray(pa), wp)) if pa.shape[2] != wp else pa,
+                jnp.asarray(_pad_words(np.asarray(pb), wp)) if pb.shape[2] != wp else pb,
+            )
+        )
+    else:
+        gp = 0
+
+    cnt = sa.cnt_n[:, None] + sb.cnt_n[None, :]
+    matches = m + gp + cnt
+    D = (L - matches).astype(np.int32)
+    if with_nn:
+        NN = (L - cnt + np.asarray(gn)).astype(np.int32)
+    else:
+        NN = None
+    return D, NN
+
+
+def comparable_sites_pairs(sa, sb, pairs_i, pairs_j) -> np.ndarray:
+    """nn = L - popcount(N_i | N_j) for selected pairs only (host popcount
+    over the packed N masks — O(pairs * W), cheap next to the dense gram)."""
+    ni = sa.nmask[np.asarray(pairs_i, dtype=np.int64)]
+    nj = sb.nmask[np.asarray(pairs_j, dtype=np.int64)]
+    return (sa.length - popcount_words(ni | nj).sum(axis=-1)).astype(np.int64)
 
 
 @jax.jit
@@ -139,6 +314,17 @@ def _gram_popcount(planes_a: jnp.ndarray, planes_b: jnp.ndarray):
     return jax.lax.map(row, planes_a)
 
 
+_CHUNK_BYTES_BUDGET = int(os.environ.get("TRACS_TPU_CHUNK_BYTES", 2 << 30))
+
+
+def _auto_chunk_sites(n: int, channels: int) -> int:
+    """Largest site chunk whose expanded channels fit the HBM budget —
+    fewer, larger chunks keep the MXU pipeline full.  Accounting: 2 operands
+    x (int8 bits + uint8 shift intermediate) = ~4 bytes/site/channel."""
+    sites = _CHUNK_BYTES_BUDGET // max(1, 4 * n * channels)
+    return max(8 * 32, min(sites, 64 << 20))
+
+
 def _pad_words(planes: np.ndarray, w_target: int) -> np.ndarray:
     w = planes.shape[2]
     if w == w_target:
@@ -146,12 +332,59 @@ def _pad_words(planes: np.ndarray, w_target: int) -> np.ndarray:
     return np.pad(planes, ((0, 0), (0, 0), (0, w_target - w)))
 
 
+def _planes_device(packed: PackedAlignment) -> jnp.ndarray:
+    """Device-resident (cached) packed planes, word-padded to a multiple of
+    256 — uploaded once per alignment (re-upload through a tunneled TPU
+    otherwise dominates sweep time)."""
+    dev = getattr(packed, "_dev_planes", None)
+    if dev is None:
+        Wpad = ((packed.planes.shape[2] + 255) // 256) * 256
+        dev = jnp.asarray(_pad_words(packed.planes, Wpad))
+        packed._dev_planes = dev
+    return dev
+
+
+def _cached_split(packed: PackedAlignment):
+    """Build (and cache on the object) the SplitAlignment layout."""
+    from tracs_tpu.ops.packing import split_alignment
+
+    split = getattr(packed, "_split_cache", None)
+    if split is None:
+        split = split_alignment(packed)
+        packed._split_cache = split
+    return split
+
+
+def _select_method(a: PackedAlignment, b: PackedAlignment) -> str:
+    """Pick the cheaper kernel by MAC count: the split decomposition costs
+    ~5/site + 10/partial-site; the general inclusion-exclusion gram ~16/site.
+    The split path wins unless partial-ambiguity codes cover >~90% of sites
+    (the per-sample partial rate unions across samples)."""
+    sa = _cached_split(a)
+    sb = sa if b is a else _cached_split(b)
+    p = max(sa.n_partial, sb.n_partial)
+    return "split" if (5 * a.length + 10 * p) < (16 * a.length) else "mxu"
+
+
+def _slice_split(sa, r0: int, r1: int):
+    import dataclasses as _dc
+
+    return _dc.replace(
+        sa,
+        excl=sa.excl[r0:r1],
+        nmask=sa.nmask[r0:r1],
+        partial=sa.partial[r0:r1],
+        cnt_n=sa.cnt_n[r0:r1],
+        names=sa.names[r0:r1],
+    )
+
+
 def snp_distance_dense(
     a: PackedAlignment,
     b: PackedAlignment | None = None,
     *,
     method: str = "mxu",
-    chunk_sites: int = 1 << 17,
+    chunk_sites: int | None = None,
     row_block: int = 2048,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Dense all-pairs SNP distance + comparable-site matrices.
@@ -167,29 +400,50 @@ def snp_distance_dense(
     L = a.length
     na, nb = a.n_seqs, b.n_seqs
 
+    if method == "auto":
+        method = _select_method(a, b)
+
+    if method == "split":
+        from tracs_tpu.ops.packing import split_alignment
+
+        sa = _cached_split(a)
+        sb = sa if b is a else _cached_split(b)
+        D = np.empty((na, nb), dtype=np.int32)
+        NN = np.empty((na, nb), dtype=np.int32)
+        for r0 in range(0, na, row_block):
+            r1 = min(na, r0 + row_block)
+            sblk = sa if (r0 == 0 and r1 == na) else _slice_split(sa, r0, r1)
+            D[r0:r1], NN[r0:r1] = snp_distance_dense_split(
+                sblk, sb, chunk_sites=chunk_sites
+            )
+        return D, NN
+
     cnt_a = np.asarray(a.counts_n())
     cnt_b = np.asarray(b.counts_n()) if b is not a else cnt_a
 
     if method == "mxu":
+        if chunk_sites is None:
+            chunk_sites = _auto_chunk_sites(max(na, nb), 16)
+        dev_b = _planes_device(b)
+        dev_a_full = dev_b if b is a else _planes_device(a)
+        Wpad = dev_b.shape[2]
         # keep chunks lane-aligned (multiples of 256 words = 8192 sites);
         # odd chunk shapes trigger pathological XLA compiles on some backends
-        wc = max(8, min(chunk_sites // 32, a.n_words))
+        wc = max(8, min(chunk_sites // 32, Wpad))
         if wc > 256:
             wc = (wc // 256) * 256
-        n_chunks = math.ceil(a.n_words / wc)
-        pa = _pad_words(a.planes, wc * n_chunks)
-        pb = _pad_words(b.planes, wc * n_chunks) if b is not a else pa
+        n_chunks = math.ceil(Wpad / wc)
     elif method == "popcount":
-        pa, pb = a.planes, (b.planes if b is not a else a.planes)
+        dev_b = _planes_device(b) if b is not a else _planes_device(a)
+        dev_a_full = dev_b if b is a else _planes_device(a)
     else:
         raise ValueError(f"unknown method {method!r}")
 
     D = np.empty((na, nb), dtype=np.int32)
     NN = np.empty((na, nb), dtype=np.int32)
-    dev_b = jax.device_put(pb)
     for r0 in range(0, na, row_block):
         r1 = min(na, r0 + row_block)
-        dev_a = dev_b if (b is a and r0 == 0 and r1 == na) else jax.device_put(pa[r0:r1])
+        dev_a = dev_a_full if (r0 == 0 and r1 == na) else dev_a_full[r0:r1]
         if method == "mxu":
             g, gq = _gram_mxu(dev_a, dev_b, wc=wc, n_chunks=n_chunks)
             # d = L + sum_S (-1)^|S| G_S ; padded tail words contribute 0
@@ -232,7 +486,7 @@ def pairsnp_stream(
     dist: int = INT32_MAX,
     filter: bool = False,
     *,
-    method: str = "mxu",
+    method: str = "auto",
     row_block: int = 1024,
     start_row: int = 0,
 ):
@@ -264,10 +518,21 @@ def pairsnp_stream(
         col_offset = 0
         triangle = True
 
+    if method == "auto":
+        method = _select_method(a, b)
+    if method == "split":
+        sa = _cached_split(a)
+        sb = sa if b is a else _cached_split(b)
+
     for r0 in range(start_row, a.n_seqs, row_block):
         r1 = min(a.n_seqs, r0 + row_block)
-        block = PackedAlignment(a.planes[r0:r1], a.length, a.names[r0:r1])
-        D, NN = snp_distance_dense(block, b, method=method)
+        if method == "split":
+            sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split(sa, r0, r1)
+            D, _ = snp_distance_dense_split(sblk, sb, with_nn=False)
+            NN = None
+        else:
+            block = PackedAlignment(a.planes[r0:r1], a.length, a.names[r0:r1])
+            D, NN = snp_distance_dense(block, b, method=method)
         mask = D <= dist
         if triangle:
             cols_idx = np.arange(b.n_seqs)[None, :]
@@ -275,8 +540,12 @@ def pairsnp_stream(
             mask &= cols_idx > rows_idx
         rows, cols = np.nonzero(mask)
         dvals = D[rows, cols].astype(np.int64)
-        nvals = NN[rows, cols].astype(np.int64)
         rows = rows + r0
+        if NN is not None:
+            nvals = NN[rows - r0, cols].astype(np.int64)
+        else:
+            # comparable sites only for the surviving pairs
+            nvals = comparable_sites_pairs(sa, sb, rows, cols)
         if filter and len(rows):
             mism = mismatch_words(a, b, rows, cols)
             filt = filter_recomb_batch(mism, dvals, a.length)
@@ -291,58 +560,31 @@ def pairsnp(
     dist: int = INT32_MAX,
     filter: bool = False,
     *,
-    method: str = "mxu",
+    method: str = "auto",
+    row_block: int = 4096,
 ):
     """Reference-compatible driver (C++ ``pairsnp``, src/pairsnp.hpp:320-458).
 
     ``fasta`` is 1 or 2 aligned FASTA paths (or PackedAlignments): one file
     gives the all-pairs upper triangle (j > i), two give the query-vs-db
     rectangle.  Emits sparse COO of pairs with d <= dist, in the reference's
-    row-major order.  ``n_threads`` is accepted for API parity; parallelism
-    comes from the device mesh instead.
+    row-major order (i ascending then j — the omp loop order after the
+    reference's per-thread merge).  ``n_threads`` is accepted for API
+    parity; parallelism comes from the device mesh instead.
 
     Returns (rows, cols, distances, seq_names, filt_distances,
     n_compared_sites) as Python lists, exactly like the reference binding.
+    The unfiltered filt column is zero-filled (the reference's
+    combine_vectors default-fill, pairsnp.hpp:451-452).
     """
-    from tracs_tpu.ops.recomb import filter_recomb_batch
-
-    if len(fasta) < 1 or len(fasta) > 2:
-        raise ValueError("Invalid number of fasta files!")
-
-    packed = [p if isinstance(p, PackedAlignment) else pack_fasta(p) for p in fasta]
-    a = packed[0]
-    if len(packed) == 2:
-        b = packed[1]
-        if a.length != b.length:
-            raise ValueError("Error reading FASTA, variable sequence lengths!")
-        names = a.names + b.names
-        col_offset = a.n_seqs
-        D, NN = snp_distance_dense(a, b, method=method)
-        mask = D <= dist
-    else:
-        b = a
-        names = a.names
-        col_offset = 0
-        D, NN = snp_distance_dense(a, method=method)
-        mask = (D <= dist) & np.triu(np.ones_like(D, dtype=bool), k=1)
-
-    rows, cols = np.nonzero(mask)  # row-major: i ascending then j — matches omp loop order
-    dvals = D[rows, cols].astype(np.int64)
-    nvals = NN[rows, cols].astype(np.int64)
-
-    if filter and len(rows):
-        mism = mismatch_words(a, b, rows, cols)
-        filt = filter_recomb_batch(mism, dvals, a.length)
-    else:
-        # unfiltered: the reference's combine_vectors default-fills zeros
-        # (pairsnp.hpp:451-452 with empty per-thread vectors)
-        filt = np.zeros(len(rows), dtype=np.int64)
-
-    return (
-        list(rows),
-        list(cols + col_offset),
-        list(dvals),
-        list(names),
-        list(filt),
-        list(nvals),
-    )
+    all_rows, all_cols, all_d, all_f, all_nn = [], [], [], [], []
+    names = None
+    for _r0, _r1, names, rows, cols, dvals, filt, nvals in pairsnp_stream(
+        fasta, dist=dist, filter=filter, method=method, row_block=row_block
+    ):
+        all_rows += list(rows)
+        all_cols += list(cols)
+        all_d += list(dvals)
+        all_f += list(filt)
+        all_nn += list(nvals)
+    return all_rows, all_cols, all_d, list(names), all_f, all_nn
