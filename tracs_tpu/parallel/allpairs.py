@@ -1,19 +1,20 @@
 """Sharded all-pairs SNP distances: ring block-rotation over a device mesh.
 
-Layout: samples padded to dp*B and packed words padded to sp*Ws; the planes
-tensor [n, 4, W] is sharded P('dp', None, 'sp') so each device holds one
-sample block on one position shard (HBM per device = n_block * L_shard / 2
-bytes — 10k samples x 1 Mb genomes fit a v5e pod slice comfortably).
+Layout: samples padded to dp*B and packed words padded to sp*Ws; the split-
+decomposition tensors (see ops/pairsnp.py: N-exclusive singleton planes,
+N masks, gathered partial-ambiguity planes) are sharded P('dp', ..., 'sp')
+so each device holds one sample block on one position shard.
 
 Ring schedule (the TPU-native replacement for the reference's OpenMP row
 loop, src/pairsnp.hpp:380-432): every step each dp-rank computes the
-channel-gram of its resident block against a travelling block, then passes
-the travelling block to its ring neighbour with ``ppermute``; after P steps
-every pair of blocks has met exactly once on every position shard.  Per-pair
-grams are commutative sums over positions, so the sp axis reduces with a
-single ``psum`` at the end; the recombination filter's windowed statistics
-are the only non-commutative part of the pipeline and run in the dedicated
-filter pass (ops/recomb.py), not here.
+5-channel signed gram (+ partial correction + N gram) of its resident block
+against a travelling block, then passes the travelling block to its ring
+neighbour with ``ppermute``; after P steps every pair of blocks has met
+exactly once on every position shard.  Per-pair grams are commutative sums
+over positions, so the sp axis reduces with a single ``psum`` at the end;
+the recombination filter's windowed statistics are the only non-commutative
+part of the pipeline and run in the dedicated filter pass (ops/recomb.py),
+not here.
 
 Determinism: output is assembled by block origin index, so the result is
 bit-identical to the single-device kernel regardless of mesh shape (verified
@@ -30,80 +31,96 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tracs_tpu.ops.packing import PackedAlignment
-from tracs_tpu.ops.pairsnp import _gram_chunk
+from tracs_tpu.ops.pairsnp import _cached_split, _gram_partial, _gram_split_chunk, _unpack_bits
 from tracs_tpu.parallel.mesh import make_mesh, pad_to
 
 
-def _ring_allpairs_local(planes_local: jnp.ndarray, n_dp: int):
-    """shard_map body: planes_local [B, 4, Ws] on this (dp, sp) shard.
-    Returns signed gram rows [B, n_dp*B] and quad gram rows, psum'd over sp.
+def _ring_allpairs_local(excl, nmask, part, n_dp: int):
+    """shard_map body: per-(dp, sp) shard tensors
+    excl [B, 4, Ws], nmask [B, Ws], part [B, 4, Wp].
+    Returns (match-gram rows [B, n_dp*B], N-gram rows), psum'd over sp.
     """
-    B = planes_local.shape[0]
+    B = excl.shape[0]
     my_dp = jax.lax.axis_index("dp")
 
-    sig_rows = jnp.zeros((B, n_dp * B), jnp.int32)
-    quad_rows = jnp.zeros((B, n_dp * B), jnp.int32)
+    m_rows = jnp.zeros((B, n_dp * B), jnp.int32)
+    n_rows = jnp.zeros((B, n_dp * B), jnp.int32)
 
-    trav = planes_local
+    trav = (excl, nmask, part)
     for step in range(n_dp):
-        g, gq = _gram_chunk(planes_local, trav)
+        t_excl, t_nmask, t_part = trav
+        m = _gram_split_chunk(excl, nmask, t_excl, t_nmask)
+        m = m + _gram_partial(part, t_part)
+        an = _unpack_bits(nmask)
+        bn = _unpack_bits(t_nmask)
+        gn = jax.lax.dot_general(
+            an, bn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
         origin = (my_dp - step) % n_dp
         col0 = (origin * B).astype(jnp.int32)
         zero = jnp.int32(0)
-        sig_rows = jax.lax.dynamic_update_slice(sig_rows, g, (zero, col0))
-        quad_rows = jax.lax.dynamic_update_slice(quad_rows, gq, (zero, col0))
+        m_rows = jax.lax.dynamic_update_slice(m_rows, m, (zero, col0))
+        n_rows = jax.lax.dynamic_update_slice(n_rows, gn, (zero, col0))
         if step + 1 < n_dp:
             # rotate the travelling block one rank forward around the dp ring
             perm = [(r, (r + 1) % n_dp) for r in range(n_dp)]
-            trav = jax.lax.ppermute(trav, "dp", perm)
+            trav = tuple(jax.lax.ppermute(t, "dp", perm) for t in trav)
 
     # position shards hold partial grams: commutative sum -> one psum
-    sig_rows = jax.lax.psum(sig_rows, "sp")
-    quad_rows = jax.lax.psum(quad_rows, "sp")
-    return sig_rows, quad_rows
+    m_rows = jax.lax.psum(m_rows, "sp")
+    n_rows = jax.lax.psum(n_rows, "sp")
+    return m_rows, n_rows
 
 
 @partial(jax.jit, static_argnames=("n_dp", "mesh"))
-def _ring_allpairs(planes: jnp.ndarray, *, n_dp: int, mesh: Mesh):
+def _ring_allpairs(excl, nmask, part, *, n_dp: int, mesh: Mesh):
     fn = jax.shard_map(
         partial(_ring_allpairs_local, n_dp=n_dp),
         mesh=mesh,
-        in_specs=P("dp", None, "sp"),
+        in_specs=(P("dp", None, "sp"), P("dp", "sp"), P("dp", None, "sp")),
         out_specs=(P("dp", None), P("dp", None)),
     )
-    return fn(planes)
+    return fn(excl, nmask, part)
 
 
 def sharded_snp_distance(
     packed: PackedAlignment,
     mesh: Mesh | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """All-pairs (D, NN) int32 matrices computed over a dp x sp device mesh.
-
-    Matches ``snp_distance_dense`` bit-for-bit; use for sample counts /
-    genome lengths that exceed a single device.
-    """
+    """All-pairs (D, NN) int32 matrices computed over a dp x sp device mesh
+    with the split-decomposition kernel.  Matches ``snp_distance_dense``
+    bit-for-bit; use for sample counts / genome lengths that exceed a
+    single device."""
     if mesh is None:
         mesh = make_mesh(len(jax.devices()), 1)
     n_dp = mesh.shape["dp"]
     n_sp = mesh.shape["sp"]
 
-    n, _, W = packed.planes.shape
-    L = packed.length
+    sa = _cached_split(packed)
+    n = sa.n_seqs
+    W = sa.excl.shape[2]
+    Wp = sa.partial.shape[2]
+    L = sa.length
     B = pad_to(max(n, 1), n_dp) // n_dp
     Ws = pad_to(max(W, 1), n_sp) // n_sp
+    Wps = pad_to(max(Wp, 1), n_sp) // n_sp
 
-    planes = np.zeros((n_dp * B, 4, n_sp * Ws), dtype=np.uint32)
-    planes[:n, :, :W] = packed.planes
+    excl = np.zeros((n_dp * B, 4, n_sp * Ws), dtype=np.uint32)
+    excl[:n, :, :W] = sa.excl
+    nmask = np.zeros((n_dp * B, n_sp * Ws), dtype=np.uint32)
+    nmask[:n, :W] = sa.nmask
+    part = np.zeros((n_dp * B, 4, n_sp * Wps), dtype=np.uint32)
+    part[:n, :, :Wp] = sa.partial
 
-    sharding = NamedSharding(mesh, P("dp", None, "sp"))
-    planes_dev = jax.device_put(jnp.asarray(planes), sharding)
+    ex_dev = jax.device_put(jnp.asarray(excl), NamedSharding(mesh, P("dp", None, "sp")))
+    nm_dev = jax.device_put(jnp.asarray(nmask), NamedSharding(mesh, P("dp", "sp")))
+    pt_dev = jax.device_put(jnp.asarray(part), NamedSharding(mesh, P("dp", None, "sp")))
 
-    sig, quad = _ring_allpairs(planes_dev, n_dp=n_dp, mesh=mesh)
-    sig = np.asarray(sig)[:n, :n]
-    quad = np.asarray(quad)[:n, :n]
+    m, gn = _ring_allpairs(ex_dev, nm_dev, pt_dev, n_dp=n_dp, mesh=mesh)
+    m = np.asarray(m)[:n, :n]
+    gn = np.asarray(gn)[:n, :n]
 
-    cnt = np.asarray(packed.counts_n())
-    D = (L + sig).astype(np.int32)
-    NN = (L - cnt[:, None] - cnt[None, :] + quad).astype(np.int32)
+    cnt = sa.cnt_n[:, None] + sa.cnt_n[None, :]
+    D = (L - (m + cnt)).astype(np.int32)
+    NN = (L - cnt + gn).astype(np.int32)
     return D, NN
