@@ -283,12 +283,55 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
     return D, NN
 
 
-def comparable_sites_pairs(sa, sb, pairs_i, pairs_j) -> np.ndarray:
+@partial(jax.jit, static_argnames=("wc", "n_chunks"))
+def _gn_dense(n_a, n_b, *, wc: int, n_chunks: int):
+    """Dense N-mask gram only (1 channel) — used when a block has too many
+    threshold survivors for per-pair popcounts to be cheaper."""
+    na, nb = n_a.shape[0], n_b.shape[0]
+    W = n_a.shape[1]
+    accn = jnp.zeros((na, nb), jnp.int32)
+    for c in range(n_chunks):
+        if c:
+            n_a, n_b, accn = jax.lax.optimization_barrier((n_a, n_b, accn))
+        end = min((c + 1) * wc, W)
+        an = _unpack_bits(jax.lax.slice_in_dim(n_a, c * wc, end, axis=1))
+        bn = _unpack_bits(jax.lax.slice_in_dim(n_b, c * wc, end, axis=1))
+        accn = accn + jax.lax.dot_general(
+            an, bn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+    return accn
+
+
+def comparable_sites_dense(sa, sb) -> np.ndarray:
+    """Dense NN matrix from SplitAlignments via the 1-channel N gram."""
+    Wpad, _, na_mask, _ = _split_device(sa)
+    if sb is sa:
+        nb_mask = na_mask
+    else:
+        _, _, nb_mask, _ = _split_device(sb)
+    chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 1)
+    wc = max(8, min(chunk_sites // 32, Wpad))
+    if wc > 256:
+        wc = (wc // 256) * 256
+    n_chunks = math.ceil(Wpad / wc)
+    gn = np.asarray(_gn_dense(na_mask, nb_mask, wc=wc, n_chunks=n_chunks))
+    cnt = sa.cnt_n[:, None] + sb.cnt_n[None, :]
+    return (sa.length - cnt + gn).astype(np.int32)
+
+
+def comparable_sites_pairs(sa, sb, pairs_i, pairs_j, *, batch: int = 65536) -> np.ndarray:
     """nn = L - popcount(N_i | N_j) for selected pairs only (host popcount
-    over the packed N masks — O(pairs * W), cheap next to the dense gram)."""
-    ni = sa.nmask[np.asarray(pairs_i, dtype=np.int64)]
-    nj = sb.nmask[np.asarray(pairs_j, dtype=np.int64)]
-    return (sa.length - popcount_words(ni | nj).sum(axis=-1)).astype(np.int64)
+    over the packed N masks).  Batched: gathering full mask rows for
+    millions of pairs at once would materialise pairs x W words."""
+    pairs_i = np.asarray(pairs_i, dtype=np.int64)
+    pairs_j = np.asarray(pairs_j, dtype=np.int64)
+    out = np.empty(len(pairs_i), dtype=np.int64)
+    for s in range(0, len(pairs_i), batch):
+        e = min(len(pairs_i), s + batch)
+        ni = sa.nmask[pairs_i[s:e]]
+        nj = sb.nmask[pairs_j[s:e]]
+        out[s:e] = sa.length - popcount_words(ni | nj).sum(axis=-1)
+    return out
 
 
 @jax.jit
@@ -543,8 +586,15 @@ def pairsnp_stream(
         rows = rows + r0
         if NN is not None:
             nvals = NN[rows - r0, cols].astype(np.int64)
+        elif len(rows) * 20 > mask.size:
+            # dense survivors: one 1-channel dense gram beats millions of
+            # per-pair mask gathers
+            NN_blk = comparable_sites_dense(
+                sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split(sa, r0, r1), sb
+            )
+            nvals = NN_blk[rows - r0, cols].astype(np.int64)
         else:
-            # comparable sites only for the surviving pairs
+            # sparse survivors: comparable sites per pair
             nvals = comparable_sites_pairs(sa, sb, rows, cols)
         if filter and len(rows):
             mism = mismatch_words(a, b, rows, cols)

@@ -77,6 +77,13 @@ def align_parser(parser):
         help="minimap preset to use - one of 'sr' (default), 'map-ont' or 'map-pb'",
         default="sr", type=str,
     )
+    alignment.add_argument(
+        "--composite", dest="composite",
+        help="align reads ONCE against a composite of all selected references "
+             "and split the pileup per reference (faster for metagenomic "
+             "samples hitting many references)",
+        action="store_true", default=False,
+    )
 
     pileup = parser.add_argument_group("Pileup options")
     pileup.add_argument("-Q", "--min_base_qual", dest="min_base_qual",
@@ -263,11 +270,13 @@ def align(args):
     elif len(args.input_files) == 2:
         r1, r2 = args.input_files
 
-    for ref in references:
-        align_and_pileup(
-            ref_locs[ref],
+    if getattr(args, "composite", False):
+        from tracs_tpu.io.external import align_and_pileup_composite
+
+        align_and_pileup_composite(
+            {ref: ref_locs[ref] for ref in references},
             temp_dir,
-            args.output_dir + args.prefix + "_ref_" + str(ref),
+            args.output_dir + args.prefix,
             r1,
             r2=r2,
             aligner="minimap2",
@@ -276,11 +285,29 @@ def align(args):
             Q=args.min_base_qual,
             q=args.min_map_qual,
             l=args.min_query_len,
-            V=1,
+            V=args.max_div,
             T=args.trim,
-            max_div=args.max_div,
             n_cpu=args.n_cpu,
         )
+    else:
+        for ref in references:
+            align_and_pileup(
+                ref_locs[ref],
+                temp_dir,
+                args.output_dir + args.prefix + "_ref_" + str(ref),
+                r1,
+                r2=r2,
+                aligner="minimap2",
+                minimap_preset=args.minimap_preset,
+                minimap_params=None,
+                Q=args.min_base_qual,
+                q=args.min_map_qual,
+                l=args.min_query_len,
+                V=1,
+                T=args.trim,
+                max_div=args.max_div,
+                n_cpu=args.n_cpu,
+            )
 
     for ref in references:
         logging.info("Analysing reference: %s", ref)

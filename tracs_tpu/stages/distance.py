@@ -130,6 +130,19 @@ def distance(args):
     if getattr(args, "row_block", None):
         return _distance_streaming(args, dates)
 
+    # large inputs stream automatically: bounded host memory + resumable
+    try:
+        n_first = sum(1 for line in _open_any(args.msa_files[0]) if line.startswith(">"))
+    except OSError:
+        n_first = 0
+    if n_first > 4096:
+        logging.info(
+            "%s samples detected: switching to streaming row blocks "
+            "(use --row-block to control the block size)", n_first,
+        )
+        args.row_block = 1024
+        return _distance_streaming(args, dates)
+
     logging.info("Estimating transmission distances...")
 
     with open(args.output_file, "w") as outfile:
@@ -204,6 +217,14 @@ def distance(args):
     return
 
 
+def _open_any(path):
+    import gzip
+
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
 def _distance_streaming(args, dates):
     """Row-block streaming driver for very large all-pairs runs: bounded
     host memory, incremental CSV writes, and a cursor file so interrupted
@@ -252,34 +273,32 @@ def _distance_streaming(args, dates):
                 with phase("block rows [%d,%d): %d pairs" % (r0, r1, len(rows))):
                     if dates is not None and len(rows):
                         dist_col = filt if args.recomb_filter else dvals
+                        secs_cache = {i: secs(names[i]) for i in set(rows) | set(cols)}
                         datediff = np.abs(
-                            np.array([secs(names[i]) for i in rows])
-                            - np.array([secs(names[j]) for j in cols])
+                            np.array([secs_cache[i] for i in rows])
+                            - np.array([secs_cache[j] for j in cols])
                         ) / SECONDS_IN_YEAR
                         p0, eK = cache.lookup(dist_col, datediff)
                         p0 = np.exp(p0)
-                        for k in range(len(rows)):
-                            if (args.trans_threshold is None) or (
-                                args.trans_threshold >= eK[k]
-                            ):
-                                filt_s = str(filt[k]) if args.recomb_filter else "NA"
-                                outfile.write(
-                                    ",".join([
-                                        names[rows[k]], names[cols[k]],
-                                        str(datediff[k]), str(int(dvals[k])),
-                                        str(p0[k]), str(eK[k]), filt_s,
-                                        str(nn[k]), ref,
-                                    ]) + "\n"
-                                )
-                    else:
-                        for k in range(len(rows)):
-                            outfile.write(
-                                ",".join([
-                                    names[rows[k]], names[cols[k]], "NA",
-                                    str(int(dvals[k])), "NA", "NA",
-                                    str(filt[k]), str(nn[k]), ref,
-                                ]) + "\n"
-                            )
+                        if args.trans_threshold is not None:
+                            keep = np.nonzero(args.trans_threshold >= eK)[0]
+                        else:
+                            keep = np.arange(len(rows))
+                        lines = [
+                            f"{names[rows[k]]},{names[cols[k]]},{datediff[k]},"
+                            f"{int(dvals[k])},{p0[k]},{eK[k]},"
+                            f"{filt[k] if args.recomb_filter else 'NA'},{nn[k]},{ref}"
+                            for k in keep
+                        ]
+                        if lines:
+                            outfile.write("\n".join(lines) + "\n")
+                    elif len(rows):
+                        lines = [
+                            f"{names[rows[k]]},{names[cols[k]]},NA,"
+                            f"{int(dvals[k])},NA,NA,{filt[k]},{nn[k]},{ref}"
+                            for k in range(len(rows))
+                        ]
+                        outfile.write("\n".join(lines) + "\n")
                     outfile.flush()
                     with open(cursor_path, "w") as fh:
                         json.dump({"msa_index": mi, "next_row": r1}, fh)
