@@ -25,6 +25,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
+# this environment's sitecustomize pins jax_platforms to the TPU plugin no
+# matter what JAX_PLATFORMS says; honour an explicit override via config
+if os.environ.get("TRACS_TPU_FORCE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TRACS_TPU_FORCE_PLATFORM"])
+    if "cpu" in os.environ["TRACS_TPU_FORCE_PLATFORM"]:
+        jax.config.update(
+            "jax_num_cpu_devices", int(os.environ.get("TRACS_TPU_CPU_DEVICES", "8"))
+        )
+
 from tracs_tpu.ops.packing import PackedAlignment, nibbles_to_planes  # noqa: E402
 from tracs_tpu.ops.pairsnp import _cached_split, snp_distance_dense_split  # noqa: E402
 from tracs_tpu.parallel.allpairs import sharded_snp_distance  # noqa: E402
