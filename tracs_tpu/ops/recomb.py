@@ -65,7 +65,9 @@ def filter_recomb_single(positions: np.ndarray, length: int) -> int:
     return int(keep.sum())
 
 
-def filter_recomb_batch(mism_words: np.ndarray, dvals: np.ndarray, length: int) -> np.ndarray:
+def filter_recomb_batch(
+    mism_words: np.ndarray, dvals: np.ndarray, length: int, *, batch: int = 512
+) -> np.ndarray:
     """Vectorised filter over a batch of pairs.
 
     mism_words : uint32 [n_pairs, W] mismatch bitsets (padding bits cleared)
@@ -74,23 +76,36 @@ def filter_recomb_batch(mism_words: np.ndarray, dvals: np.ndarray, length: int) 
 
     Returns int64 [n_pairs] filtered distances.
 
-    All windowed statistics for the whole batch are evaluated in a single
-    flattened scipy ``binom.sf`` call.
+    Pairs are processed in fixed-size batches (unpacking every bitset at
+    once materialises n_pairs x L bytes); within a batch the windowed
+    statistics flatten into single searchsorted + binom.sf calls with
+    unique-(count, span, d) memoisation.
     """
-    n = mism_words.shape[0]
     out = np.asarray(dvals, dtype=np.int64).copy()
+    n = mism_words.shape[0]
     if n == 0:
+        return out
+    if n > batch:
+        for s in range(0, n, batch):
+            e = min(n, s + batch)
+            out[s:e] = filter_recomb_batch(
+                mism_words[s:e], out[s:e], length, batch=batch
+            )
         return out
 
     todo = np.nonzero(out > 1)[0]
     if todo.size == 0:
         return out
 
-    # unpack all needed bitsets at once
-    bits = np.unpackbits(
-        mism_words[todo].view(np.uint8), axis=1, bitorder="little"
-    )
-    pair_idx, pos = np.nonzero(bits)
+    # sparse bit extraction: mismatch bitsets have ~d set bits out of L, so
+    # only the nonzero WORDS are expanded (vs unpacking n_pairs x L bits)
+    sub = mism_words[todo]
+    pi_w, wi = np.nonzero(sub)
+    wvals = sub[pi_w, wi]
+    wbits = (wvals[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    bit_row, bit_col = np.nonzero(wbits)
+    pair_idx = pi_w[bit_row]
+    pos = wi[bit_row] * 32 + bit_col  # sorted per pair (row-major nonzero)
 
     # per-pair parameters
     d_t = out[todo].astype(np.float64)
@@ -119,8 +134,16 @@ def filter_recomb_batch(mism_words: np.ndarray, dvals: np.ndarray, length: int) 
     multi = count > 1
     keep = np.ones(len(pos), dtype=bool)
     if np.any(multi):
-        pv = binom.sf(count[multi], span[multi], p_t[pair_idx[multi]])
-        keep[multi] = pv >= thr_t[pair_idx[multi]]
+        # (count, span, d) triples repeat heavily across pairs (p and the
+        # threshold are functions of d alone): evaluate the binomial survival
+        # function once per unique triple — the reference memoises the same
+        # way with a hash map (pairsnp.hpp:41-58)
+        d_flat = out[todo][pair_idx[multi]].astype(np.int64)
+        triples = np.stack([count[multi], span[multi], d_flat], axis=1)
+        uniq, inv = np.unique(triples, axis=0, return_inverse=True)
+        pv_u = binom.sf(uniq[:, 0], uniq[:, 1], uniq[:, 2].astype(np.float64) / length)
+        keep_u = pv_u >= (0.05 / uniq[:, 2])
+        keep[multi] = keep_u[inv]
 
     kept_per_pair = np.add.reduceat(keep.astype(np.int64), starts)
     # reduceat quirk: empty segments copy the next element; d > 1 segments are
