@@ -50,6 +50,40 @@ def combine_parser(parser):
     return parser
 
 
+def sum_after_semicolon(line: str) -> int:
+    """Total read depth from a pileup line's count column
+    (reference combine.py:77-81)."""
+    last_column = line.strip().split()[-1]
+    numbers_str = last_column.replace(":", ",")
+    numbers = map(int, numbers_str.split(",")[2:])
+    return sum(numbers)
+
+
+def calculate_coverage(pileup: str):
+    """Covered-site count and total depth for a pileup file (the reference
+    defines this helper but leaves it unused, combine.py:84-103; here it is
+    kept working for ad-hoc coverage summaries).  Returns
+    (sample, ref, covered_sites, total_depth); NaN on truncated files."""
+    import math
+
+    sample = os.path.dirname(pileup).split(os.sep)[-1]
+    ref = re.search(r"ref_(.+)_pileup", os.path.basename(pileup)).group(1)
+    try:
+        with gzip.open(pileup, "rt") as infile:
+            cov = 0
+            depth = 0
+            for line in infile:
+                c = sum_after_semicolon(line)
+                if c > 0:
+                    cov += 1
+                depth += c
+    except EOFError as e:
+        logging.error(str(e))
+        logging.error("Error: An EOFError occurred reading %s", pileup)
+        return (sample, ref, math.nan, math.nan)
+    return (sample, ref, cov, depth)
+
+
 def find_ref(filename: str) -> str:
     result = re.search(r"posterior_counts_ref_(.+)\.fasta", filename)
     if not result:
