@@ -10,6 +10,7 @@
 //
 // Exposed as a plain C ABI consumed through ctypes (no pybind11 in image).
 
+#include <algorithm>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -273,6 +274,120 @@ int64_t tn_parse_pileup(const char* path, float* counts, int64_t l_total,
     parsed++;
   }
   return parsed;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FracMinHash sketching (sourmash-style scaled minhash, own hash/format)
+// ---------------------------------------------------------------------------
+//
+// Rolling ntHash-style canonical k-mer hashing for arbitrary k:
+//   fh_{i+1} = rol1(fh_i) ^ rol_k(H[s_i]) ^ H[s_{i+k}]
+//   rh_{i+1} = ror1(rh_i ^ H[rc(s_i)] ^ rol_k(H[rc(s_{i+k})]))
+//   canonical = min(fh, rh); kept when canonical <= 2^64 / scaled
+// K-mers containing non-ACGT characters are skipped (window resets), the
+// same convention sourmash uses.
+
+namespace {
+
+inline uint64_t rol(uint64_t x, int r) {
+  r &= 63;
+  return r ? (x << r) | (x >> (64 - r)) : x;
+}
+inline uint64_t ror1(uint64_t x) { return (x >> 1) | (x << 63); }
+
+// fixed random 64-bit constants per base (A, C, G, T)
+const uint64_t kBaseH[4] = {
+    0x3c8bfbb395c60474ULL, 0x3193c18562a02b4cULL,
+    0x20323ed082572324ULL, 0x295549f54be24456ULL,
+};
+
+inline int base_code(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return -1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sketch a FASTA/FASTQ(.gz) file.  Hashes with value <= 2^64/scaled are
+// collected (deduplicated, sorted ascending) into out[0..capacity).
+// Returns the number of hashes written, or negative on error
+// (-5: more distinct hashes than capacity).
+int64_t tn_sketch_file(const char* path, int64_t k, int64_t scaled,
+                       uint64_t* out, int64_t capacity) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+  if (k < 4 || k > 10000 || scaled < 1) return -2;
+  const uint64_t max_hash = (uint64_t)(0xFFFFFFFFFFFFFFFFULL / (uint64_t)scaled);
+
+  std::vector<uint64_t> hashes;
+  std::string line;
+  bool fastq = false, first = true;
+  int fq_line = 0;  // 4-line cycle position for FASTQ
+
+  // rolling window state
+  uint64_t fh = 0, rh = 0;
+  size_t filled = 0;
+  std::vector<int> ring(k, 0);
+  size_t ring_pos = 0;
+
+  auto reset = [&]() { filled = 0; fh = rh = 0; ring_pos = 0; };
+
+  auto feed = [&](char ch) {
+    int b = base_code(ch);
+    if (b < 0) { reset(); return; }
+    if (filled < (size_t)k) {
+      // build initial window hashes incrementally
+      fh = rol(fh, 1) ^ kBaseH[b];               // fh accumulates rol^{k-1-t}
+      rh = rh ^ rol(kBaseH[3 - b], (int)filled); // rh accumulates rol^{t}
+      ring[ring_pos] = b;
+      ring_pos = (ring_pos + 1) % k;
+      filled++;
+      if (filled < (size_t)k) return;
+    } else {
+      const int old_b = ring[ring_pos];
+      fh = rol(fh, 1) ^ rol(kBaseH[old_b], (int)k) ^ kBaseH[b];
+      rh = ror1(rh ^ kBaseH[3 - old_b] ^ rol(kBaseH[3 - b], (int)k));
+      ring[ring_pos] = b;
+      ring_pos = (ring_pos + 1) % k;
+    }
+    const uint64_t ch64 = fh < rh ? fh : rh;
+    if (ch64 <= max_hash) hashes.push_back(ch64);
+  };
+
+  while (r.getline(line)) {
+    if (first) {
+      if (line.empty()) continue;
+      fastq = (line[0] == '@');
+      first = false;
+    }
+    if (!fastq) {
+      if (!line.empty() && line[0] == '>') { reset(); continue; }
+      for (char ch : line) { if (ch != '\r') feed(ch); }
+    } else {
+      // strict 4-line cycling (quality lines may begin with '@' or '+')
+      const int which = fq_line & 3;
+      fq_line++;
+      if (which == 1) {
+        reset();
+        for (char ch : line) { if (ch != '\r') feed(ch); }
+      }
+    }
+  }
+
+  std::sort(hashes.begin(), hashes.end());
+  hashes.erase(std::unique(hashes.begin(), hashes.end()), hashes.end());
+  if ((int64_t)hashes.size() > capacity) return -5;
+  memcpy(out, hashes.data(), hashes.size() * sizeof(uint64_t));
+  return (int64_t)hashes.size();
 }
 
 }  // extern "C"

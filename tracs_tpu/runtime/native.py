@@ -91,6 +91,12 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64, ctypes.c_int,
     ]
 
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    lib.tn_sketch_file.restype = ctypes.c_int64
+    lib.tn_sketch_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, u64p, ctypes.c_int64,
+    ]
+
 
 def native_pack_fasta(path):
     """Parse + bit-pack an aligned FASTA via the native library.

@@ -215,19 +215,40 @@ def align(args):
         args.prefix = os.path.splitext(os.path.basename(args.input_files[0]))[0]
 
     if not single_ref:
-        if ".sbt.zip" in args.database:
-            smdb = args.database
-        else:
-            with ZipFile(args.database, "r") as archive:
-                archive.extract("sourmashDB.sbt.zip", temp_dir)
-                smdb = temp_dir + "sourmashDB.sbt.zip"
+        import shutil as _shutil
 
-        references = run_gather(
-            input_files=args.input_files,
-            databasefile=smdb,
-            output=args.output_dir + args.prefix + "_sourmash_hits",
-            temp_dir=temp_dir,
-        )
+        from tracs_tpu.sketch import load_db_sketches, native_gather
+
+        use_native = False
+        if ".sbt.zip" not in args.database:
+            with ZipFile(args.database, "r") as archive:
+                members = set(archive.namelist())
+            has_sbt = "sourmashDB.sbt.zip" in members
+            have_sourmash = _shutil.which("sourmash") is not None
+            if (not has_sbt) or (not have_sourmash and load_db_sketches(args.database)):
+                use_native = True
+
+        if use_native:
+            logging.info("Selecting references with the native FracMinHash gather")
+            references = native_gather(
+                args.input_files,
+                args.database,
+                args.output_dir + args.prefix + "_sourmash_hits.csv",
+            )
+        else:
+            if ".sbt.zip" in args.database:
+                smdb = args.database
+            else:
+                with ZipFile(args.database, "r") as archive:
+                    archive.extract("sourmashDB.sbt.zip", temp_dir)
+                    smdb = temp_dir + "sourmashDB.sbt.zip"
+
+            references = run_gather(
+                input_files=args.input_files,
+                databasefile=smdb,
+                output=args.output_dir + args.prefix + "_sourmash_hits",
+                temp_dir=temp_dir,
+            )
 
         ref_locs = {}
         if ".sbt.zip" in args.database:

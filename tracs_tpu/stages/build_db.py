@@ -94,11 +94,20 @@ def build_db(args):
             (f, os.path.splitext(os.path.basename(f))[0]) for f in args.input_files
         ]
 
+    import shutil as _shutil
+
+    have_sourmash = _shutil.which("sourmash") is not None
     with ZipFile(args.dbname + ".zip", "w") as archive:
-        path_to_sourmashdb = build_sourmash_db(
-            inputs, temp_dir, ksize=args.ksize, scale=args.scale, n_cpu=1
-        )
-        archive.write(path_to_sourmashdb, "sourmashDB.sbt.zip")
+        if have_sourmash:
+            path_to_sourmashdb = build_sourmash_db(
+                inputs, temp_dir, ksize=args.ksize, scale=args.scale, n_cpu=1
+            )
+            archive.write(path_to_sourmashdb, "sourmashDB.sbt.zip")
+        else:
+            logging.warning(
+                "sourmash not found: building the database with native "
+                "FracMinHash sketches only (align will use the native gather)"
+            )
 
         for f, prefix in inputs:
             if f.split(".")[-1] == "gz":
@@ -115,6 +124,11 @@ def build_db(args):
             for f, prefix in inputs:
                 outfile.write(prefix + "," + prefix + ".fasta.gz")
         archive.write(temp_dir + "summary.tsv", "summary.tsv")
+
+    # native FracMinHash sketches: every database is usable without sourmash
+    from tracs_tpu.sketch import write_db_sketches
+
+    write_db_sketches(args.dbname + ".zip", inputs, ksize=args.ksize, scaled=args.scale)
 
     shutil.rmtree(temp_dir)
     return
