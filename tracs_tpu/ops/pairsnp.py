@@ -7,27 +7,34 @@ several bits, N sets all four) — and the SNP distance is ``d = L - matches``.
 Comparable (non-N) sites: ``nn = L - popcount(N_i | N_j)`` where
 ``N_s = AND of all four planes`` (pairsnp.hpp:417-419).
 
-Two exact device paths
-----------------------
-1. **MXU gram path** (default).  The match indicator has an exact
-   inclusion-exclusion expansion over plane subsets S of {A,C,G,T}:
+Exact device paths (all bit-identical to the reference; "auto" selects by
+MAC cost)
+--------------------------------------------------------------------------
+1. **Split decomposition** (production default).  With û = N-exclusive
+   singleton planes and n = the all-four N mask:
 
-       [u ∩ v ≠ ∅] = 1 - Π_nt (1 - u_nt v_nt)
-                   = - Σ_{S≠∅} (-1)^{|S|} χ_S(u) χ_S(v),
-       χ_S(u) = Π_{nt∈S} u_nt  ∈ {0,1}
+       match(u,v) = Σ_x û_x·v̂_x − n_u·n_v + n_u + n_v + partial-correction
 
-   so  d[i,j] = L + Σ_{S≠∅} (-1)^{|S|} ⟨χ_S(i), χ_S(j)⟩ : fifteen 0/1
-   channel-grams, i.e. ONE int8 matmul on the MXU with the sign folded into
-   the right operand.  The N-plane gram (S = {A,C,G,T}) also yields the
-   comparable-sites count:  nn = L - cntN_i - cntN_j + ⟨N_i, N_j⟩.
-   Channels are expanded on the fly from the packed words (15 word-ANDs +
-   bit-unpack per chunk), so HBM holds only the 0.5 byte/site packed planes.
+   — one signed 5-channel int8 MXU matmul + per-sample count terms, plus a
+   10-channel correction gram over sites gathered where any sample holds a
+   2-/3-bit IUPAC code (rare).  Comparable sites come lazily per surviving
+   pair (host popcount of N masks) or from a dense 1-channel N gram when
+   survivors are dense.  ~5 MACs/site.  Measured 4.1M 1Mb-genome pairs/s
+   on one TPU v5e chip.
 
-2. **VPU popcount path.**  Direct AND/OR + ``lax.population_count`` on uint32
-   lanes, tiled over row blocks.  Used for cross-checking and for extracting
-   per-pair mismatch bitsets for the recombination filter.
+2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
+   [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
+   one int8 matmul over 15 AND-product channels; the quad channel doubles
+   as the N mask for comparable sites.
 
-Both accumulate exactly in int32; results are bit-identical to the reference.
+3. **VPU popcount path** ("popcount") and hand-written Pallas kernels
+   (ops/pallas_kernels.py): direct AND/OR + ``lax.population_count`` on
+   uint32 lanes — independent implementations for cross-checking, also used
+   to extract per-pair mismatch bitsets for the recombination filter.
+
+All accumulate exactly in int32.  Device-resident plane caches avoid
+re-uploading inputs; chunk loops are unrolled with optimization_barrier
+(see ARCHITECTURE.md for the measured reasons).
 """
 
 from __future__ import annotations
@@ -426,7 +433,7 @@ def snp_distance_dense(
     a: PackedAlignment,
     b: PackedAlignment | None = None,
     *,
-    method: str = "mxu",
+    method: str = "auto",
     chunk_sites: int | None = None,
     row_block: int = 2048,
 ) -> tuple[np.ndarray, np.ndarray]:
