@@ -24,8 +24,6 @@ from __future__ import annotations
 import numpy as np
 from scipy.stats import binom
 
-from tracs_tpu.ops.packing import popcount_words
-
 _WIN_MIN = 50
 _WIN_MAX = 5000
 

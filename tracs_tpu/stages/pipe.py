@@ -11,13 +11,12 @@ from __future__ import annotations
 
 import argparse
 import glob
-import logging
 import os
 import re
 from collections import defaultdict
 
 from tracs_tpu.ops.pairsnp import INT32_MAX
-from tracs_tpu.stages.align import align, align_parser
+from tracs_tpu.stages.align import align
 from tracs_tpu.stages.cluster import cluster
 from tracs_tpu.stages.distance import distance
 from tracs_tpu.utils import add_loglevel_arg, check_positive_float, check_positive_int, setup_logging
