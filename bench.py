@@ -21,19 +21,36 @@ import numpy as np
 
 def _make_packed(n, L, p_partial=0.0, seed=0):
     """Realistic alignment composition: mostly unambiguous calls, ~14% N
-    (low-coverage sites), optional partial IUPAC codes (mixed strains)."""
+    (low-coverage sites), optional partial IUPAC codes (mixed strains).
+
+    Throughput here is data-independent (dense integer grams), so samples
+    are cut from ONE random site pool at 32-site offsets: RNG cost is O(L)
+    instead of O(n*L) and each sample's planes are a word-shifted view of
+    the pool planes.  Composition is quantised to 1/256 via a uint8 LUT.
+    """
     from tracs_tpu.ops.packing import PackedAlignment, nibbles_to_planes
 
     rng = np.random.default_rng(seed)
     base = (1 - 0.14 - 2 * p_partial) / 4
     probs = np.array([base] * 4 + [0.14, p_partial, p_partial])
     codes = np.array([1, 2, 4, 8, 15, 3, 5], dtype=np.uint8)
-    # bucketed draw via uint16 randoms (rng.choice with p= is ~50x slower)
-    edges = (np.cumsum(probs) * 65536).astype(np.uint16)
-    draws = rng.integers(0, 65536, size=(n, L), dtype=np.uint16)
-    nib = codes[np.searchsorted(edges, draws, side="right").clip(0, len(codes) - 1)]
+    counts = np.diff(np.round(np.concatenate([[0.0], np.cumsum(probs)]) * 256))
+    lut = np.repeat(codes, counts.astype(np.int64))
+    assert lut.shape == (256,)
+
+    pool_L = L + 32 * n
+    nib = lut[rng.integers(0, 256, size=pool_L, dtype=np.uint8)]
+    pool_planes = nibbles_to_planes(nib[None, :])[0]  # [4, Wp]
+    W = (L + 31) // 32
+    planes = np.empty((n, 4, W), dtype=np.uint32)
+    for i in range(n):
+        planes[i] = pool_planes[:, i : i + W]
+    # clear padding tail bits beyond L in the last word
+    tail = W * 32 - L
+    if tail:
+        planes[:, :, -1] &= np.uint32(0xFFFFFFFF >> tail)
     return PackedAlignment(
-        planes=nibbles_to_planes(nib), length=L, names=[str(i) for i in range(n)]
+        planes=planes, length=L, names=[str(i) for i in range(n)]
     )
 
 

@@ -29,3 +29,38 @@ def test_pallas_two_alignments(rng):
     D1, NN1 = snp_distance_pallas(pa, pb, interpret=True)
     assert np.array_equal(D0, D1)
     assert np.array_equal(NN0, NN1)
+
+
+@pytest.mark.parametrize("na,nb,L", [(37, 37, 533), (37, 11, 533), (130, 5, 9000)])
+def test_fused_split_gram(rng, na, nb, L):
+    """The fused split-gram kernel bit-matches the XLA _dense_split grams
+    (both the square all-pairs case and the query-vs-db rectangle)."""
+    import jax.numpy as jnp
+
+    from tracs_tpu.ops.packing import split_alignment
+    from tracs_tpu.ops.pairsnp import _dense_split
+    from tracs_tpu.ops.pallas_kernels import split_gram_pallas
+
+    chars = np.array(list("ACGTMRWSYKVHDBN-"))
+    sa = split_alignment(pack_sequences(["".join(rng.choice(chars, size=L)) for _ in range(na)]))
+    if na == nb:
+        sb = sa
+    else:
+        sb = split_alignment(pack_sequences(["".join(rng.choice(chars, size=L)) for _ in range(nb)]))
+
+    g, gn = split_gram_pallas(
+        sa.excl, sa.nmask, sb.excl if sb is not sa else sa.excl,
+        sb.nmask if sb is not sa else sa.nmask, interpret=True,
+    )
+
+    W = sa.excl.shape[2]
+    Wpad = -(-W // 256) * 256
+    pad3 = ((0, 0), (0, 0), (0, Wpad - W))
+    pad2 = ((0, 0), (0, Wpad - W))
+    ea = jnp.asarray(np.pad(sa.excl, pad3))
+    na_m = jnp.asarray(np.pad(sa.nmask, pad2))
+    eb = ea if sb is sa else jnp.asarray(np.pad(sb.excl, pad3))
+    nb_m = na_m if sb is sa else jnp.asarray(np.pad(sb.nmask, pad2))
+    g0, gn0 = _dense_split(ea, na_m, eb, nb_m, wc=Wpad, n_chunks=1, with_nn=True)
+    assert np.array_equal(g, np.asarray(g0))
+    assert np.array_equal(gn, np.asarray(gn0))

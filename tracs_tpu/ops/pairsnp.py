@@ -236,13 +236,37 @@ def _split_device(sa, wp_target: int | None = None):
     return cache
 
 
+_SPLIT_IMPL = os.environ.get("TRACS_TPU_SPLIT_IMPL", "auto")
+
+
+def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30) -> bool:
+    """The fused Pallas kernel (ops/pallas_kernels.split_gram_pallas) keeps
+    packed words in VMEM and unpacks in-register, so it is MXU-bound where
+    the XLA path is HBM-bound on materialised int8 channels.  Default: on
+    for the TPU backend on LARGE problems only — the Mosaic compile costs
+    minutes on this platform's remote-compile service (amortised by the
+    persistent compilation cache, but shapes vary per dataset), so small
+    sweeps stay on the XLA path."""
+    if _SPLIT_IMPL == "pallas":
+        return True
+    if _SPLIT_IMPL == "xla":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and max(na, nb) >= 256
+        and wpad >= 4096  # >= ~131k sites
+    )
+
+
 def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, with_nn=True):
     """(D, NN) from SplitAlignment layouts — the fast path (~5 MACs/site for
     consensus-style data).
 
     matches = (G4 - Gn) + Gpartial + cntN_i + cntN_j ;  D = L - matches
     NN = L - cntN_i - cntN_j + Gn   (skipped when with_nn=False — callers
-    that only need NN on threshold-surviving pairs use comparable_sites_pairs)
+    that only need NN on threshold-surviving pairs use comparable_sites_pairs;
+    the fused Pallas kernel computes Gn as a by-product, so on that path NN
+    is returned regardless)
     """
     if sb is None:
         sb = sa
@@ -257,16 +281,22 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
         Wpad_b, eb, nb_mask, pb = _split_device(sb)
         assert Wpad_b == Wpad
 
-    if chunk_sites is None:
-        chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 5)
-    wc = max(8, min(chunk_sites // 32, Wpad))
-    if wc > 256:
-        wc = (wc // 256) * 256
-    n_chunks = math.ceil(Wpad / wc)
+    if _use_pallas_split(sa.n_seqs, sb.n_seqs, Wpad):
+        from tracs_tpu.ops.pallas_kernels import split_gram_pallas
 
-    m, gn = _dense_split(
-        ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, with_nn=with_nn,
-    )
+        m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask)
+        with_nn = True
+    else:
+        if chunk_sites is None:
+            chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 5)
+        wc = max(8, min(chunk_sites // 32, Wpad))
+        if wc > 256:
+            wc = (wc // 256) * 256
+        n_chunks = math.ceil(Wpad / wc)
+
+        m, gn = _dense_split(
+            ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, with_nn=with_nn,
+        )
     m = np.asarray(m)
 
     if sa.n_partial or sb.n_partial:
