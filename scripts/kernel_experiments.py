@@ -144,16 +144,18 @@ def main():
             call, prep = make_kernel(**tiles, dtype=dtype, layout=layout)
             with jax.enable_x64(False):
                 ka, kn = prep(ea, nm)
-                ka.block_until_ready()
+                np.asarray(jnp.sum(ka))  # flush upload
                 t0 = time.time()
                 g, gn = call(ka, kn, ka, kn)
-                g.block_until_ready()
+                # block_until_ready does NOT flush through the axon tunnel;
+                # only a host transfer gives true wall clock
+                np.asarray(g)
                 compile_s = time.time() - t0
                 times = []
                 for _ in range(3):
                     t0 = time.time()
                     g, gn = call(ka, kn, ka, kn)
-                    g.block_until_ready()
+                    np.asarray(g), np.asarray(gn)
                     times.append(time.time() - t0)
             dt = min(times)
             rate = n * n / dt

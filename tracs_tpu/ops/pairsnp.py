@@ -251,9 +251,16 @@ def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30)
         return True
     if _SPLIT_IMPL == "xla":
         return False
+    # Measured regime on the v5e chip (see scripts/kernel_experiments.py):
+    # at n>=~512 the XLA path amortises its one-off channel expansion over
+    # enough pairs to sit at the chip's MXU bound (4.4M 1Mb-pairs/s D-only),
+    # while the fused kernel re-unpacks operand tiles per (i, j) step and
+    # tops out lower.  At mid sizes (128..512 rows) the fused kernel wins
+    # (75ms vs 90ms at n=256, L=1M) because the XLA expansion is O(n*L) and
+    # not yet amortised.  Below 128 rows everything is padding + latency.
     return (
         jax.default_backend() == "tpu"
-        and max(na, nb) >= 256
+        and 128 <= max(na, nb) < 512
         and wpad >= 4096  # >= ~131k sites
     )
 
