@@ -34,21 +34,12 @@ if os.environ.get("TRACS_TPU_FORCE_PLATFORM"):
             "jax_num_cpu_devices", int(os.environ.get("TRACS_TPU_CPU_DEVICES", "8"))
         )
 
-from tracs_tpu.ops.packing import PackedAlignment, nibbles_to_planes  # noqa: E402
 from tracs_tpu.ops.pairsnp import _cached_split, snp_distance_dense_split  # noqa: E402
 from tracs_tpu.parallel.allpairs import sharded_snp_distance  # noqa: E402
 from tracs_tpu.parallel.mesh import make_mesh  # noqa: E402
 from tracs_tpu.parallel.multihost import initialize  # noqa: E402
 
-
-def make_packed(n, L, seed=0):
-    rng = np.random.default_rng(seed)
-    probs = np.array([0.215] * 4 + [0.14])
-    codes = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
-    edges = (np.cumsum(probs) * 65536).astype(np.uint16)
-    draws = rng.integers(0, 65536, size=(n, L), dtype=np.uint16)
-    nib = codes[np.searchsorted(edges, draws, side="right").clip(0, 4)]
-    return PackedAlignment(nibbles_to_planes(nib), L, [str(i) for i in range(n)])
+from bench import _make_packed as make_packed  # noqa: E402
 
 
 def main():

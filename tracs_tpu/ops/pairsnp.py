@@ -19,8 +19,9 @@ MAC cost)
    10-channel correction gram over sites gathered where any sample holds a
    2-/3-bit IUPAC code (rare).  Comparable sites come lazily per surviving
    pair (host popcount of N masks) or from a dense 1-channel N gram when
-   survivors are dense.  ~5 MACs/site.  Measured 4.1M 1Mb-genome pairs/s
-   on one TPU v5e chip.
+   survivors are dense.  ~5 MACs/site.  Measured 4.3M 1Mb-genome pairs/s
+   on one TPU v5e chip at n=1024 — the chip's measured MXU bound (~20
+   TMAC/s; see ARCHITECTURE.md).
 
 2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
    [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
