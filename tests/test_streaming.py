@@ -49,6 +49,33 @@ def test_stream_two_fasta(rng):
         assert list(w) == list(g)
 
 
+@pytest.mark.parametrize("dist", [0, 40, 120, 10**9])
+def test_stream_sparse_extraction_vs_host_mask(rng, dist):
+    """The device-side COO compaction (count + fixed-capacity nonzero) must
+    equal an independent host mask of the dense matrix at every sparsity,
+    including d=0 (count may be zero) and all-pairs (dense fallback)."""
+    from tracs_tpu.ops.pairsnp import snp_distance_dense
+
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=200)) for _ in range(11)]
+    packed = pack_sequences(seqs)
+    D, NN = snp_distance_dense(packed)
+    iu = np.triu_indices(11, k=1)
+    keep = D[iu] <= dist
+    want_rows = iu[0][keep]
+    want_cols = iu[1][keep]
+    want_d = D[iu][keep]
+    want_nn = NN[iu][keep]
+
+    rows, cols, d, names, filt, nn = _collect(
+        pairsnp_stream([packed], dist=dist, row_block=4)
+    )
+    assert rows == list(want_rows)
+    assert cols == list(want_cols)
+    assert d == list(want_d)
+    assert nn == list(want_nn)
+
+
 def test_stream_start_row(rng):
     chars = np.array(list("ACGT"))
     seqs = ["".join(rng.choice(chars, size=64)) for _ in range(6)]

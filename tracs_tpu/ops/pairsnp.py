@@ -266,15 +266,37 @@ def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30)
     )
 
 
-def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, with_nn=True):
-    """(D, NN) from SplitAlignment layouts — the fast path (~5 MACs/site for
-    consensus-style data).
+@jax.jit
+def _assemble_d(m, gp, cnt_a, cnt_b, L):
+    return (L - (m + gp + cnt_a[:, None] + cnt_b[None, :])).astype(jnp.int32)
+
+
+@jax.jit
+def _assemble_nn(gn, cnt_a, cnt_b, L):
+    return (L - cnt_a[:, None] - cnt_b[None, :] + gn).astype(jnp.int32)
+
+
+def _cnt_device(sa) -> jnp.ndarray:
+    dev = getattr(sa, "_dev_cnt", None)
+    if dev is None:
+        dev = jnp.asarray(sa.cnt_n.astype(np.int32))
+        sa._dev_cnt = dev
+    return dev
+
+
+def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, with_nn=True):
+    """(D, NN) as DEVICE int32 arrays from SplitAlignment layouts — the fast
+    path (~5 MACs/site for consensus-style data).
 
     matches = (G4 - Gn) + Gpartial + cntN_i + cntN_j ;  D = L - matches
-    NN = L - cntN_i - cntN_j + Gn   (skipped when with_nn=False — callers
-    that only need NN on threshold-surviving pairs use comparable_sites_pairs;
-    the fused Pallas kernel computes Gn as a by-product, so on that path NN
-    is returned regardless)
+    NN = L - cntN_i - cntN_j + Gn   (None when with_nn=False — callers that
+    only need NN on threshold-surviving pairs use comparable_sites_pairs; the
+    fused Pallas kernel computes Gn as a by-product, so on that path NN is
+    returned regardless)
+
+    Keeping the result on device lets callers threshold/compact there and
+    download only surviving pairs — on tunneled TPUs the dense matrix
+    download otherwise rivals the compute time.
     """
     if sb is None:
         sb = sa
@@ -292,7 +314,7 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
     if _use_pallas_split(sa.n_seqs, sb.n_seqs, Wpad):
         from tracs_tpu.ops.pallas_kernels import split_gram_pallas
 
-        m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask)
+        m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask, as_device=True)
         with_nn = True
     else:
         if chunk_sites is None:
@@ -305,27 +327,77 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
         m, gn = _dense_split(
             ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, with_nn=with_nn,
         )
-    m = np.asarray(m)
 
     if sa.n_partial or sb.n_partial:
         wp = max(pa.shape[2], pb.shape[2])
-        gp = np.asarray(
-            _gram_partial(
-                jnp.asarray(_pad_words(np.asarray(pa), wp)) if pa.shape[2] != wp else pa,
-                jnp.asarray(_pad_words(np.asarray(pb), wp)) if pb.shape[2] != wp else pb,
-            )
+        gp = _gram_partial(
+            jnp.asarray(_pad_words(np.asarray(pa), wp)) if pa.shape[2] != wp else pa,
+            jnp.asarray(_pad_words(np.asarray(pb), wp)) if pb.shape[2] != wp else pb,
         )
     else:
-        gp = 0
+        gp = jnp.zeros((), jnp.int32)
 
-    cnt = sa.cnt_n[:, None] + sb.cnt_n[None, :]
-    matches = m + gp + cnt
-    D = (L - matches).astype(np.int32)
-    if with_nn:
-        NN = (L - cnt + np.asarray(gn)).astype(np.int32)
-    else:
-        NN = None
+    cnt_a = _cnt_device(sa)
+    cnt_b = _cnt_device(sb) if sb is not sa else cnt_a
+    L32 = jnp.int32(L)  # a bare python int would trace as i64 under x64
+    D = _assemble_d(m, gp, cnt_a, cnt_b, L32)
+    NN = _assemble_nn(gn, cnt_a, cnt_b, L32) if with_nn else None
     return D, NN
+
+
+def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, with_nn=True):
+    """Host (numpy) wrapper of snp_distance_split_device."""
+    D, NN = snp_distance_split_device(
+        sa, sb, chunk_sites=chunk_sites, with_nn=with_nn
+    )
+    return np.asarray(D), (np.asarray(NN) if NN is not None else None)
+
+
+@partial(jax.jit, static_argnames=("triangle",))
+def _count_survivors(D, dist, r0, *, triangle: bool):
+    mask = D <= dist
+    if triangle:
+        na, nb = D.shape
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
+        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
+        mask &= cols_idx > rows_idx
+    return jnp.sum(mask, dtype=jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("capacity", "triangle"))
+def _extract_coo(D, dist, r0, *, capacity: int, triangle: bool):
+    """Device-side sparse COO extraction: flat row-major indices and values
+    of entries with D <= dist (and j > global row when triangle), padded to
+    a static capacity.  Row-major flat order == the reference's emission
+    order within a row block."""
+    na, nb = D.shape
+    mask = D <= dist
+    if triangle:
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
+        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
+        mask &= cols_idx > rows_idx
+    flat = mask.ravel()
+    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=na * nb)
+    safe = jnp.minimum(idx, na * nb - 1)
+    vals = jnp.take(D.ravel(), safe)
+    return idx, vals
+
+
+def _stream_block_sparse(D_dev, dist, r0, nb, count, *, triangle):
+    """Threshold + compact one row block on device; download survivors only.
+    Returns (rows_local, cols, dvals) numpy arrays in row-major order."""
+    if count == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    # bucket capacity to powers of two to bound recompiles
+    capacity = 1 << max(12, int(math.ceil(math.log2(count))))
+    capacity = min(capacity, int(D_dev.shape[0]) * int(nb))
+    idx, vals = _extract_coo(D_dev, dist, jnp.int32(r0), capacity=capacity, triangle=triangle)
+    idx = np.asarray(idx)[:count].astype(np.int64)
+    dvals = np.asarray(vals)[:count].astype(np.int64)
+    rows_local = idx // nb
+    cols = idx % nb
+    return rows_local, cols, dvals
 
 
 @partial(jax.jit, static_argnames=("wc", "n_chunks"))
@@ -614,24 +686,39 @@ def pairsnp_stream(
 
     for r0 in range(start_row, a.n_seqs, row_block):
         r1 = min(a.n_seqs, r0 + row_block)
+        block_elems = (r1 - r0) * b.n_seqs
         if method == "split":
             sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split(sa, r0, r1)
-            D, _ = snp_distance_dense_split(sblk, sb, with_nn=False)
+            D_dev, _ = snp_distance_split_device(sblk, sb, with_nn=False)
             NN = None
+            count = int(
+                np.asarray(_count_survivors(D_dev, dist, jnp.int32(r0), triangle=triangle))
+            )
+            if 2 * count <= block_elems:
+                # sparse survivors: compact on device, download only pairs
+                # (the dense matrix download rivals compute on tunneled TPUs)
+                rows_l, cols, dvals = _stream_block_sparse(
+                    D_dev, dist, r0, b.n_seqs, count, triangle=triangle
+                )
+                rows = rows_l + r0
+                D = None
+            else:
+                D = np.asarray(D_dev)
         else:
             block = PackedAlignment(a.planes[r0:r1], a.length, a.names[r0:r1])
             D, NN = snp_distance_dense(block, b, method=method)
-        mask = D <= dist
-        if triangle:
-            cols_idx = np.arange(b.n_seqs)[None, :]
-            rows_idx = np.arange(r0, r1)[:, None]
-            mask &= cols_idx > rows_idx
-        rows, cols = np.nonzero(mask)
-        dvals = D[rows, cols].astype(np.int64)
-        rows = rows + r0
+        if D is not None:
+            mask = D <= dist
+            if triangle:
+                cols_idx = np.arange(b.n_seqs)[None, :]
+                rows_idx = np.arange(r0, r1)[:, None]
+                mask &= cols_idx > rows_idx
+            rows, cols = np.nonzero(mask)
+            dvals = D[rows, cols].astype(np.int64)
+            rows = rows + r0
         if NN is not None:
             nvals = NN[rows - r0, cols].astype(np.int64)
-        elif len(rows) * 20 > mask.size:
+        elif len(rows) * 20 > block_elems:
             # dense survivors: one 1-channel dense gram beats millions of
             # per-pair mask gathers
             NN_blk = comparable_sites_dense(

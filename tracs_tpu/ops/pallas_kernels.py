@@ -207,13 +207,14 @@ def _split_gram_call(ea, na, eb, nb, *, interpret=False):
     )(ea, na, eb, nb)
 
 
-def split_gram_pallas(ea, na, eb, nb, *, interpret: bool = False):
+def split_gram_pallas(ea, na, eb, nb, *, interpret: bool = False, as_device: bool = False):
     """Fused split-decomposition grams from PACKED planes.
 
     ea, eb : [n, 4, W] uint32 N-exclusive singleton planes
     na, nb : [n, W] uint32 N masks
-    returns (g, gn) int32 numpy [n_a, n_b]: g = G4 - Gn (the signed dense
-    gram of ops/pairsnp._gram_split_chunk), gn = the N gram.
+    returns (g, gn) int32 [n_a, n_b] (numpy, or device arrays when
+    ``as_device``): g = G4 - Gn (the signed dense gram of
+    ops/pairsnp._gram_split_chunk), gn = the N gram.
 
     Rows are padded to the output tile and words to the chunk size; zero
     padding is neutral (no bits -> zero contribution) and the pads are
@@ -245,6 +246,8 @@ def split_gram_pallas(ea, na, eb, nb, *, interpret: bool = False):
     # Mosaic rejects i64 index-map constants under jax_enable_x64
     with jax.enable_x64(False):
         g, gn = _split_gram_call(ea_p, na_p, eb_p, nb_p, interpret=interpret)
+        if as_device:
+            return g[:na_rows, :nb_rows], gn[:na_rows, :nb_rows]
         g = np.asarray(g)
         gn = np.asarray(gn)
     return g[:na_rows, :nb_rows], gn[:na_rows, :nb_rows]
