@@ -250,3 +250,105 @@ def split_alignment(packed: PackedAlignment) -> SplitAlignment:
         cnt_n=cnt_n, length=packed.length, n_partial=n_partial,
         names=packed.names,
     )
+
+
+# ---------------------------------------------------------------------------
+# variant-site compaction
+# ---------------------------------------------------------------------------
+
+def _gather_columns(planes: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """Repack the selected columns of a [n, 4, W] plane tensor into a fresh
+    [n, 4, ceil(V/32)] tensor (little bit order), chunked over rows to bound
+    the temporary bit matrix."""
+    n = planes.shape[0]
+    V = int(positions.size)
+    word_idx = (positions >> 5).astype(np.int64)
+    bit_idx = (positions & 31).astype(np.uint32)
+    Wc = (V + 31) // 32
+    out_bytes = np.zeros((n, 4, Wc * 4), dtype=np.uint8)
+    rows_per_chunk = max(1, (1 << 26) // max(1, 4 * V))
+    for s in range(0, n, rows_per_chunk):
+        e = min(n, s + rows_per_chunk)
+        bits = ((planes[s:e][:, :, word_idx] >> bit_idx) & 1).astype(np.uint8)
+        packed = np.packbits(bits, axis=-1, bitorder="little")  # [r, 4, ceil(V/8)]
+        out_bytes[s:e, :, : packed.shape[-1]] = packed
+    return np.ascontiguousarray(out_bytes).view(np.uint32).reshape(n, 4, Wc)
+
+
+def compact_variant_columns(
+    a: PackedAlignment,
+    b: PackedAlignment | None = None,
+    *,
+    max_ratio: float = 0.75,
+):
+    """Drop alignment columns that cannot affect any pairwise result.
+
+    A column where every sample (of both alignments, in query-vs-db mode)
+    holds the SAME nonzero nibble contributes exactly one match to every
+    pair — so the compacted distance matrix is IDENTICAL to the full one
+    (D = V - matches_variant = L - matches_total), with no offset at all.
+    Comparable-site counts shift by the constant
+    ``nn_offset = L - V - n_droppedN`` (each dropped constant-N column
+    removes one N from both samples and one from their N-gram).  Mismatch
+    positions for the recombination filter map back through ``positions``.
+
+    Real bacterial alignments are overwhelmingly conserved, so this is the
+    classic snp-sites reduction: typically 10-100x fewer sites feed the
+    O(n^2 * L) kernels.  The scan itself is one O(n * W) pass of bitwise
+    and/or reductions.  The reference has no analogue (its kernel always
+    walks the full bitsets, src/pairsnp.hpp:395-421); outputs remain
+    bit-identical by construction.
+
+    Returns ``(a_c, b_c, positions, nn_offset)`` or ``None`` when fewer
+    than ``(1 - max_ratio)`` of the columns would be dropped (not worth the
+    repack).  Columns holding a constant ZERO nibble (impossible for
+    FASTA-derived alignments — the codec maps unknown chars to N) are kept
+    as variant, which is what makes the distance offset provably zero.
+    """
+    same = b is None or b is a
+    planes_list = [a.planes] if same else [a.planes, b.planes]
+    L, W = a.length, a.planes.shape[2]
+    if a.planes.shape[0] == 0 or (not same and b.planes.shape[0] == 0):
+        return None
+
+    and_all = None
+    or_all = None
+    for pl in planes_list:
+        pa = np.bitwise_and.reduce(pl, axis=0)  # [4, W]
+        po = np.bitwise_or.reduce(pl, axis=0)
+        and_all = pa if and_all is None else (and_all & pa)
+        or_all = po if or_all is None else (or_all | po)
+
+    varies = (
+        (and_all[0] ^ or_all[0])
+        | (and_all[1] ^ or_all[1])
+        | (and_all[2] ^ or_all[2])
+        | (and_all[3] ^ or_all[3])
+    )
+    nz = or_all[0] | or_all[1] | or_all[2] | or_all[3]
+    in_l = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+    tail = W * 32 - L
+    if tail:
+        in_l[-1] = np.uint32(0xFFFFFFFF >> tail)
+    keep = (varies | ~nz) & in_l
+
+    positions = np.nonzero(
+        np.unpackbits(keep.view(np.uint8), bitorder="little")
+    )[0].astype(np.int64)
+    if positions.size == 0:
+        # keep one (constant, nonzero) column so kernels see >= 1 site;
+        # it contributes one match to every pair, exactly as it did in full
+        positions = np.array([0], dtype=np.int64)
+        keep = keep.copy()
+        keep[0] |= np.uint32(1)
+    V = int(positions.size)
+    if V >= max_ratio * L:
+        return None
+
+    const_n = and_all[0] & and_all[1] & and_all[2] & and_all[3]
+    dropped_n = int(popcount_words(const_n & ~keep & in_l).sum())
+    nn_offset = L - V - dropped_n
+
+    a_c = PackedAlignment(_gather_columns(a.planes, positions), V, a.names)
+    b_c = a_c if same else PackedAlignment(_gather_columns(b.planes, positions), V, b.names)
+    return a_c, b_c, positions, nn_offset

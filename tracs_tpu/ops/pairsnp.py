@@ -49,7 +49,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tracs_tpu.ops.packing import PackedAlignment, pack_fasta, popcount_words
+from tracs_tpu.ops.packing import (
+    PackedAlignment,
+    compact_variant_columns,
+    pack_fasta,
+    popcount_words,
+)
 
 # channel subset masks in plane-bit order (bit0=A..bit3=T), |S| ascending
 _SUBSETS = [s for s in range(1, 16)]
@@ -641,6 +646,18 @@ def mismatch_words(a: PackedAlignment, b: PackedAlignment, pairs_i, pairs_j) -> 
     return mism
 
 
+def _cached_compact(a: PackedAlignment, b: PackedAlignment):
+    """compact_variant_columns, memoised on the first alignment (streaming
+    resume re-enters with the same objects)."""
+    key = id(b) if b is not a else None
+    cache = getattr(a, "_compact_res", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    res = compact_variant_columns(a, None if b is a else b)
+    a._compact_res = (key, res)
+    return res
+
+
 def pairsnp_stream(
     fasta: Sequence[str] | Sequence[PackedAlignment],
     dist: int = INT32_MAX,
@@ -649,6 +666,7 @@ def pairsnp_stream(
     method: str = "auto",
     row_block: int = 1024,
     start_row: int = 0,
+    compact: bool | None = None,
 ):
     """Streaming COO emission for large all-pairs runs.
 
@@ -658,6 +676,11 @@ def pairsnp_stream(
     caller persisting the last completed ``r1`` can resume an interrupted
     run from that row (the tile-cursor checkpoint story for week-long
     all-pairs sweeps).
+
+    ``compact`` (default on; ``TRACS_TPU_COMPACT=0`` disables) drops
+    constant alignment columns before the O(n^2) kernels — bit-identical
+    outputs (see ops/packing.py::compact_variant_columns), typically
+    10-100x fewer sites on real (mostly conserved) alignments.
     """
     from tracs_tpu.ops.recomb import filter_recomb_batch
 
@@ -678,11 +701,26 @@ def pairsnp_stream(
         col_offset = 0
         triangle = True
 
+    # variant-site compaction: kernels run on a_k/b_k; names, the filter's
+    # genome length and its SNP coordinates stay in original space
+    length = a.length
+    pos_map = None
+    nn_off = 0
+    a_k, b_k = a, b
+    if compact is None:
+        compact = os.environ.get("TRACS_TPU_COMPACT", "1") != "0"
+    if compact:
+        comp = _cached_compact(a, b)
+        if comp is not None:
+            a_k, b_k, pos_map, nn_off = comp
+            if b is a:
+                b_k = a_k
+
     if method == "auto":
-        method = _select_method(a, b)
+        method = _select_method(a_k, b_k)
     if method == "split":
-        sa = _cached_split(a)
-        sb = sa if b is a else _cached_split(b)
+        sa = _cached_split(a_k)
+        sb = sa if b_k is a_k else _cached_split(b_k)
 
     for r0 in range(start_row, a.n_seqs, row_block):
         r1 = min(a.n_seqs, r0 + row_block)
@@ -705,8 +743,8 @@ def pairsnp_stream(
             else:
                 D = np.asarray(D_dev)
         else:
-            block = PackedAlignment(a.planes[r0:r1], a.length, a.names[r0:r1])
-            D, NN = snp_distance_dense(block, b, method=method)
+            block = PackedAlignment(a_k.planes[r0:r1], a_k.length, a_k.names[r0:r1])
+            D, NN = snp_distance_dense(block, b_k, method=method)
         if D is not None:
             mask = D <= dist
             if triangle:
@@ -728,9 +766,11 @@ def pairsnp_stream(
         else:
             # sparse survivors: comparable sites per pair
             nvals = comparable_sites_pairs(sa, sb, rows, cols)
+        if nn_off:
+            nvals = nvals + nn_off
         if filter and len(rows):
-            mism = mismatch_words(a, b, rows, cols)
-            filt = filter_recomb_batch(mism, dvals, a.length)
+            mism = mismatch_words(a_k, b_k, rows, cols)
+            filt = filter_recomb_batch(mism, dvals, length, position_map=pos_map)
         else:
             filt = np.zeros(len(rows), dtype=np.int64)
         yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
@@ -744,6 +784,7 @@ def pairsnp(
     *,
     method: str = "auto",
     row_block: int = 4096,
+    compact: bool | None = None,
 ):
     """Reference-compatible driver (C++ ``pairsnp``, src/pairsnp.hpp:320-458).
 
@@ -762,7 +803,8 @@ def pairsnp(
     all_rows, all_cols, all_d, all_f, all_nn = [], [], [], [], []
     names = None
     for _r0, _r1, names, rows, cols, dvals, filt, nvals in pairsnp_stream(
-        fasta, dist=dist, filter=filter, method=method, row_block=row_block
+        fasta, dist=dist, filter=filter, method=method, row_block=row_block,
+        compact=compact,
     ):
         all_rows += list(rows)
         all_cols += list(cols)

@@ -64,13 +64,23 @@ def filter_recomb_single(positions: np.ndarray, length: int) -> int:
 
 
 def filter_recomb_batch(
-    mism_words: np.ndarray, dvals: np.ndarray, length: int, *, batch: int = 512
+    mism_words: np.ndarray,
+    dvals: np.ndarray,
+    length: int,
+    *,
+    batch: int = 512,
+    position_map: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorised filter over a batch of pairs.
 
-    mism_words : uint32 [n_pairs, W] mismatch bitsets (padding bits cleared)
-    dvals      : per-pair SNP distance (== popcount of each bitset)
-    length     : alignment length L
+    mism_words   : uint32 [n_pairs, W] mismatch bitsets (padding bits cleared)
+    dvals        : per-pair SNP distance (== popcount of each bitset)
+    length       : alignment length L (ORIGINAL coordinates)
+    position_map : optional int64 monotonic map from bitset coordinates to
+                   original genome coordinates — used when the bitsets come
+                   from a variant-compacted alignment (ops/packing.py::
+                   compact_variant_columns); window widths and spans are
+                   always evaluated in original coordinates
 
     Returns int64 [n_pairs] filtered distances.
 
@@ -87,7 +97,8 @@ def filter_recomb_batch(
         for s in range(0, n, batch):
             e = min(n, s + batch)
             out[s:e] = filter_recomb_batch(
-                mism_words[s:e], out[s:e], length, batch=batch
+                mism_words[s:e], out[s:e], length, batch=batch,
+                position_map=position_map,
             )
         return out
 
@@ -104,6 +115,8 @@ def filter_recomb_batch(
     bit_row, bit_col = np.nonzero(wbits)
     pair_idx = pi_w[bit_row]
     pos = wi[bit_row] * 32 + bit_col  # sorted per pair (row-major nonzero)
+    if position_map is not None:
+        pos = position_map[pos]  # monotonic -> stays sorted per pair
 
     # per-pair parameters
     d_t = out[todo].astype(np.float64)
