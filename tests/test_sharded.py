@@ -48,3 +48,23 @@ def test_best_mesh_shape():
     assert best_mesh_shape(8, n_samples=10000) == (8, 1)
     dp, sp = best_mesh_shape(8, n_samples=4)
     assert dp * sp == 8 and dp <= 2
+
+
+@requires_8dev
+def test_ring_with_compaction(rng):
+    # conserved backbone -> compaction triggers; sharded compact == dense full
+    base = rng.choice(np.array(list("ACGT")), size=500)
+    seqs = []
+    for _ in range(11):
+        s = base.copy()
+        idx = rng.choice(500, size=12, replace=False)
+        s[idx] = rng.choice(np.array(list("ACGTN")), size=12)
+        seqs.append("".join(s))
+    packed = pack_sequences(seqs)
+    from tracs_tpu.ops.packing import compact_variant_columns
+
+    assert compact_variant_columns(packed) is not None  # it does trigger
+    D0, NN0 = snp_distance_dense(pack_sequences(seqs))  # fresh: no cache
+    D1, NN1 = sharded_snp_distance(packed, make_mesh(4, 2), compact=True)
+    assert np.array_equal(D0, D1)
+    assert np.array_equal(NN0, NN1)

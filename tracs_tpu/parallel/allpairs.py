@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tracs_tpu.ops.packing import PackedAlignment
+import os
+
+from tracs_tpu.ops.packing import PackedAlignment, compact_variant_columns
 from tracs_tpu.ops.pairsnp import _cached_split, _gram_partial, _gram_split_chunk, _unpack_bits
 from tracs_tpu.parallel.mesh import make_mesh, pad_to
 
@@ -86,15 +88,31 @@ def _ring_allpairs(excl, nmask, part, *, n_dp: int, mesh: Mesh):
 def sharded_snp_distance(
     packed: PackedAlignment,
     mesh: Mesh | None = None,
+    *,
+    compact: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (D, NN) int32 matrices computed over a dp x sp device mesh
     with the split-decomposition kernel.  Matches ``snp_distance_dense``
     bit-for-bit; use for sample counts / genome lengths that exceed a
-    single device."""
+    single device.
+
+    ``compact`` (default on; ``TRACS_TPU_COMPACT=0`` disables) applies
+    variant-site compaction before sharding — the distance matrix is exactly
+    unchanged and NN shifts by a scalar (ops/packing.py), while the sharded
+    position axis and ring traffic shrink by the conserved fraction."""
     if mesh is None:
         mesh = make_mesh(len(jax.devices()), 1)
     n_dp = mesh.shape["dp"]
     n_sp = mesh.shape["sp"]
+
+    if compact is None:
+        compact = os.environ.get("TRACS_TPU_COMPACT", "1") != "0"
+    nn_off = 0
+    if compact:
+        comp = compact_variant_columns(packed)
+        if comp is not None:
+            packed = comp[0]
+            nn_off = comp[3]
 
     sa = _cached_split(packed)
     n = sa.n_seqs
@@ -122,5 +140,5 @@ def sharded_snp_distance(
 
     cnt = sa.cnt_n[:, None] + sa.cnt_n[None, :]
     D = (L - (m + cnt)).astype(np.int32)
-    NN = (L - cnt + gn).astype(np.int32)
+    NN = (L - cnt + gn + nn_off).astype(np.int32)
     return D, NN
