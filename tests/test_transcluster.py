@@ -115,3 +115,30 @@ def test_calculate_trans_prob_dates():
     assert abs(dd[0] - 0.002737907006988508) < 1e-15
     assert abs(np.exp(np.log(p0[0])) - p0[0]) < 1e-12  # p0 exponentiated
     assert abs(p0[0] - 0.024467137572328577) < 1e-6
+
+
+def test_extended_regime_bound_guard():
+    """Beyond the reference's defined regime (lamb*delta >> N: upper bound
+    ~1e61, threshold 1e-6) the bound comparison is pure f64 cancellation;
+    a spurious ulp-crossing must NOT truncate the sum.  Exact math runs to
+    the k cap; E(K) lands near the transmission-rate expectation and the
+    blocked engine matches the monolithic oracle."""
+    import jax
+    import jax.numpy as jnp
+    from tracs_tpu.models.transcluster import (
+        _CPU, _sum_cap, _trans_dist_batch, _K_CAP, trans_dist,
+    )
+
+    p0, eK = trans_dist([27], [7.3101], 29.903, 73)
+    assert 400 < eK[0] < 700  # ~beta*delta intermediate hosts, not ~1e-44
+
+    cap_p = _sum_cap(29.903 * 7.3101, 27)
+    cap_i = _sum_cap(7.3101 * (29.903 + 73), 27 + _K_CAP)
+    with jax.default_device(_CPU):
+        p0_m, eK_m = _trans_dist_batch(
+            jnp.asarray([27.0]), jnp.asarray([7.3101]),
+            lamb=29.903, beta=73.0, threshold_Ek=1e-6,
+            cap_pois=cap_p, cap_int=cap_i,
+        )
+    np.testing.assert_allclose(eK, np.asarray(eK_m), rtol=1e-7)
+    np.testing.assert_allclose(p0, np.asarray(p0_m), rtol=1e-9)

@@ -207,63 +207,158 @@ def _lprob2_given_logI(N, k, delta, lamb, beta, log_pois, log_I):
     )
 
 
-@partial(jax.jit, static_argnames=("lamb", "beta", "threshold_Ek", "cap_pois", "cap_int"))
-def _trans_dist_batch(N, delta, *, lamb, beta, threshold_Ek, cap_pois, cap_int):
-    """For a batch of unique (N SNPs, delta years) pairs, compute
-    (log p0, E(K)) with the reference's loop/termination semantics."""
+def _k_step(N, delta, log_pois, upper_bound, lamb, beta, log_lb, threshold_Ek, state):
+    """One k iteration of the E(K) accumulation (reference k-loop body,
+    transcluster.hpp:207-235).  Elementwise; identical math regardless of
+    how lanes are batched, so compaction between blocks cannot change any
+    lane's float sequence."""
+    k, lprob, elprob, log_I, done = state
+    M = N + k  # M = N + k for this iteration's integral
+    log_I_next = jnp.logaddexp(
+        M * jnp.log(delta) - jax.lax.lgamma(M + 1.0) - log_lb,
+        log_I - log_lb,
+    )
+    lp_k, lhs_k = _lprob2_given_logI(N, k, delta, lamb, beta, log_pois, log_I_next)
+    lprob_new = jnp.logaddexp(lprob, lp_k + jnp.log(k))
+    elprob_new = jnp.logaddexp(
+        elprob, lhs_k + jnp.log(k) + delta * (lamb + beta) - (N + k + 1.0) * log_lb
+    )
+    diff_bound = upper_bound - jnp.exp(elprob_new)
+    # reference: while (diff_bound > threshold_Ek && k < 10000), k++ at end.
+    # Guard: when upper_bound is so large that the tail can never be
+    # resolved below threshold_Ek in f64 (upper*eps >> threshold), the
+    # subtraction is pure cancellation noise and a spurious ulp-crossing
+    # would exit with a garbage partial sum; exact math runs to the k cap
+    # there, so we do too.  NaN upper_bound (the delta == 0 quirk) keeps
+    # its immediate exit: NaN >= threshold is False -> bound stays usable
+    # and NaN > threshold is False -> done.  No-op in the reference's
+    # well-defined regime (upper_bound moderate, see PARITY.md).
+    bound_usable = jnp.logical_not(upper_bound * 1e-12 >= threshold_Ek)
+    done_new = (
+        done
+        | (bound_usable & jnp.logical_not(diff_bound > threshold_Ek))
+        | (k + 1.0 >= _K_CAP)
+    )
+    keep = jnp.logical_not(done)
+    return (
+        jnp.where(keep, k + 1.0, k),
+        jnp.where(keep, lprob_new, lprob),
+        jnp.where(keep, elprob_new, elprob),
+        jnp.where(keep, log_I_next, log_I),
+        done_new,
+    )
+
+
+@partial(jax.jit, static_argnames=("lamb", "beta", "cap_pois", "cap_int"))
+def _seed_batch(N, delta, *, lamb, beta, cap_pois, cap_int):
+    """Per-lane loop-invariant seeds: Poisson log-sum, log I(N), p0 and the
+    E(K) upper bound (NaN for delta == 0 lanes — the reference's
+    single-iteration exit, see module docstring)."""
     N = N.astype(jnp.float64)
     delta = delta.astype(jnp.float64)
     log_lb = math.log(lamb + beta)
-
     # Poisson log-sum used by both the k-loop (variant-2 lprob) and the E(K)
     # upper bound; neither call site applies an exp(-lamb*delta) factor
     # (transcluster.hpp:144-149, 178-185).
     log_pois = _log_pois_cdf_sum(N, delta, lamb, cap_pois)
-
-    # log I(N): the k=0 integral (also the recurrence seed for the k-loop).
     log_I_N = _log_integral_direct(N, delta, log_lb, cap_int)
-
-    # p0 = lprob(k=0)
     p0, _ = _lprob2_given_logI(N, jnp.zeros_like(N), delta, lamb, beta, log_pois, log_I_N)
-
-    # E(K) upper bound (reference upper_bound_E, transcluster.hpp:173-188).
-    # NaN for delta == 0 lanes (0*log 0 inside log_pois) — reproduces the
-    # reference's single-iteration exit.
     upper_bound = jnp.exp(
         math.log(beta) + delta * lamb + jnp.log(N + 1.0) - (math.log(lamb) + log_pois)
     )
+    return log_pois, log_I_N, p0, upper_bound
+
+
+def _k_step_fast(N, delta, log_delta, log_pois, upper_bound, lg_N1,
+                 lamb, beta, log_lb, threshold_Ek, state):
+    """The k iteration with every lgamma carried as a recurrence
+    (lgamma(x+1) = lgamma(x) + log(x)) and loop-invariant logs hoisted —
+    ~3x fewer transcendentals per lane-step than the direct form.  Same
+    math as _k_step to f64 rounding (the monolithic engine keeps the
+    direct lgammas and serves as the oracle, tests/test_transcluster.py).
+
+    Carries: lg_M1 = lgamma(N+k+1), lg_k1 = lgamma(k+1).
+    """
+    k, lprob, elprob, log_I, lg_M1, lg_k1, done = state
+    M = N + k
+    log_I_next = jnp.logaddexp(M * log_delta - lg_M1 - log_lb, log_I - log_lb)
+
+    base = (
+        (N + 1.0) * math.log(lamb)
+        + k * math.log(beta)
+        + lg_M1
+        - lg_N1
+        - lg_k1
+    )
+    base_pos = base - delta * beta - log_pois
+    lprob_zero = base - (M + 1.0) * log_lb
+    pos = delta > 0
+    lp_k = jnp.where(pos, base_pos + log_I_next, lprob_zero)
+    lhs_k = jnp.where(pos, base_pos, lprob_zero)
+
+    log_k = jnp.log(k)
+    lprob_new = jnp.logaddexp(lprob, lp_k + log_k)
+    elprob_new = jnp.logaddexp(
+        elprob, lhs_k + log_k + delta * (lamb + beta) - (M + 1.0) * log_lb
+    )
+    diff_bound = upper_bound - jnp.exp(elprob_new)
+    # same exit rule + cancellation guard as _k_step (see comment there)
+    bound_usable = jnp.logical_not(upper_bound * 1e-12 >= threshold_Ek)
+    done_new = (
+        done
+        | (bound_usable & jnp.logical_not(diff_bound > threshold_Ek))
+        | (k + 1.0 >= _K_CAP)
+    )
+    keep = jnp.logical_not(done)
+    return (
+        jnp.where(keep, k + 1.0, k),
+        jnp.where(keep, lprob_new, lprob),
+        jnp.where(keep, elprob_new, elprob),
+        jnp.where(keep, log_I_next, log_I),
+        jnp.where(keep, lg_M1 + jnp.log(M + 1.0), lg_M1),
+        jnp.where(keep, lg_k1 + jnp.log(k + 1.0), lg_k1),
+        done_new,
+    )
+
+
+@partial(jax.jit, static_argnames=("lamb", "beta", "threshold_Ek", "n_steps"))
+def _k_block(N, delta, log_delta, log_pois, upper_bound, lg_N1,
+             k, lprob, elprob, log_I, lg_M1, lg_k1, done,
+             *, lamb, beta, threshold_Ek, n_steps):
+    """Run ``n_steps`` k iterations for the still-active lanes (lax.scan)."""
+    log_lb = math.log(lamb + beta)
+    step = partial(_k_step_fast, N, delta, log_delta, log_pois, upper_bound,
+                   lg_N1, lamb, beta, log_lb, threshold_Ek)
+
+    def body(state, _):
+        return step(state), None
+
+    state, _ = jax.lax.scan(
+        body, (k, lprob, elprob, log_I, lg_M1, lg_k1, done), None, length=n_steps
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("lamb", "beta", "threshold_Ek", "cap_pois", "cap_int"))
+def _trans_dist_batch(N, delta, *, lamb, beta, threshold_Ek, cap_pois, cap_int):
+    """Monolithic engine: seeds + one batch-wide while_loop.  Kept as the
+    oracle for the blocked/compacting production driver below (the slowest
+    lane stalls the whole batch here, so trans_dist() doesn't use it)."""
+    N = N.astype(jnp.float64)
+    delta = delta.astype(jnp.float64)
+    log_lb = math.log(lamb + beta)
+    log_pois, log_I_N, p0, upper_bound = _seed_batch(
+        N, delta, lamb=lamb, beta=beta, cap_pois=cap_pois, cap_int=cap_int
+    )
+    step = partial(_k_step, N, delta, log_pois, upper_bound,
+                   lamb, beta, log_lb, threshold_Ek)
 
     def cond(state):
-        k, lprob, elprob, log_I, done = state
-        return jnp.logical_not(jnp.all(done))
-
-    def body(state):
-        k, lprob, elprob, log_I, done = state
-        M = N + k  # M = N + k for this iteration's integral
-        log_I_next = jnp.logaddexp(
-            M * jnp.log(delta) - jax.lax.lgamma(M + 1.0) - log_lb,
-            log_I - log_lb,
-        )
-        lp_k, lhs_k = _lprob2_given_logI(N, k, delta, lamb, beta, log_pois, log_I_next)
-        lprob_new = jnp.logaddexp(lprob, lp_k + jnp.log(k))
-        elprob_new = jnp.logaddexp(
-            elprob, lhs_k + jnp.log(k) + delta * (lamb + beta) - (N + k + 1.0) * log_lb
-        )
-        diff_bound = upper_bound - jnp.exp(elprob_new)
-        # reference: while (diff_bound > threshold_Ek && k < 10000), k++ at end
-        done_new = done | jnp.logical_not(diff_bound > threshold_Ek) | (k + 1.0 >= _K_CAP)
-        keep = jnp.logical_not(done)
-        return (
-            jnp.where(keep, k + 1.0, k),
-            jnp.where(keep, lprob_new, lprob),
-            jnp.where(keep, elprob_new, elprob),
-            jnp.where(keep, log_I_next, log_I),
-            done_new,
-        )
+        return jnp.logical_not(jnp.all(state[4]))
 
     ninf = jnp.full_like(N, -jnp.inf)
     state0 = (jnp.ones_like(N), ninf, ninf, log_I_N, jnp.zeros_like(N, dtype=bool))
-    _, lprob, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    _, lprob, _, _, _ = jax.lax.while_loop(cond, lambda s: step(s), state0)
     return p0, jnp.exp(lprob)
 
 
@@ -273,10 +368,29 @@ def _sum_cap(peak: float, n_max: int) -> int:
     return max(1, min(n_max, cap))
 
 
+_SEED_CHUNK = 8192  # lanes per seed-series evaluation (bounds the [B, cap] temp)
+
+
+def _pow2(n: int, lo: int = 64) -> int:
+    """Bucket to a power of two (bounds the number of jit shapes)."""
+    return max(lo, 1 << max(0, int(n - 1).bit_length()))
+
+
 def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
     """Vectorised (log p0, E(K)) per pair — reference trans_dist
     (src/transcluster.hpp:240-287).  The reference's per-(N, delta) hash-map
-    memoisation becomes a host-side unique + device batch + scatter."""
+    memoisation becomes a host-side unique + device batches + scatter.
+
+    Engine shape: lanes sorted by (delta, N) are seeded in chunks (so the
+    truncated-series caps adapt to each chunk's own peak instead of the
+    global worst case), then the k-loop runs in geometrically growing
+    blocks with ACTIVE-LANE COMPACTION between blocks — a lane that needs
+    k=10000 (small N, large lamb*delta: the reference's own cap,
+    transcluster.hpp:207) no longer stalls every other lane the way one
+    batch-wide while_loop does.  Per-lane math is elementwise and
+    identical regardless of batching, so results match the monolithic
+    engine to f64.
+    """
     snpdiff = np.asarray(snpdiff, dtype=np.int64)
     datediff = np.asarray(datediff, dtype=np.float64)
     if snpdiff.size == 0:
@@ -286,20 +400,93 @@ def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
     uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
     uN = uniq[:, 0]
     ud = uniq[:, 1]
+    m = uN.shape[0]
 
-    max_N = int(uN.max())
-    max_d = float(ud.max())
-    cap_pois = _sum_cap(lamb * max_d, max_N)
-    cap_int = _sum_cap(max_d * (lamb + beta), max_N + _K_CAP)
+    order = np.lexsort((uN, ud))
+    sN = uN[order]
+    sd = ud[order]
+    lamb = float(lamb)
+    beta = float(beta)
+    threshold_Ek = float(threshold_Ek)
+
+    log_pois = np.empty(m)
+    log_I0 = np.empty(m)
+    p0_s = np.empty(m)
+    upper = np.empty(m)
+    eK_s = np.empty(m)
 
     with jax.default_device(_CPU):
-        p0_u, eK_u = _trans_dist_batch(
-            jnp.asarray(uN), jnp.asarray(ud),
-            lamb=float(lamb), beta=float(beta), threshold_Ek=float(threshold_Ek),
-            cap_pois=cap_pois, cap_int=cap_int,
-        )
-    p0_u = np.asarray(p0_u)
-    eK_u = np.asarray(eK_u)
+        # ---- phase 1: loop-invariant seeds, chunked with adaptive caps
+        for s in range(0, m, _SEED_CHUNK):
+            e = min(m, s + _SEED_CHUNK)
+            cN, cd = sN[s:e], sd[s:e]
+            B = _pow2(e - s)
+            cap_pois = _pow2(_sum_cap(lamb * float(cd.max()), int(cN.max())), lo=8)
+            cap_int = _pow2(
+                _sum_cap(float(cd.max()) * (lamb + beta), int(cN.max()) + _K_CAP), lo=8
+            )
+            pN = np.zeros(B)
+            pd = np.zeros(B)
+            pN[: e - s] = cN
+            pd[: e - s] = cd
+            lp, li, pp, ub = _seed_batch(
+                jnp.asarray(pN), jnp.asarray(pd),
+                lamb=lamb, beta=beta, cap_pois=cap_pois, cap_int=cap_int,
+            )
+            log_pois[s:e] = np.asarray(lp)[: e - s]
+            log_I0[s:e] = np.asarray(li)[: e - s]
+            p0_s[s:e] = np.asarray(pp)[: e - s]
+            upper[s:e] = np.asarray(ub)[: e - s]
+
+        # ---- phase 2: blocked k loop with active-lane compaction
+        from scipy.special import gammaln
+
+        with np.errstate(divide="ignore"):
+            log_sd = np.log(sd)  # -inf for delta == 0 lanes (the NaN quirk path)
+        lg_N1_all = gammaln(sN + 1.0)
+        k_st = np.ones(m)
+        lp_st = np.full(m, -np.inf)
+        el_st = np.full(m, -np.inf)
+        li_st = log_I0.copy()
+        lgM_st = gammaln(sN + 2.0)  # lgamma(N+k+1) at k=1
+        lgk_st = np.zeros(m)        # lgamma(k+1)   at k=1
+        active = np.arange(m)
+        n_steps = 8
+        while active.size:
+            a = active.size
+            B = _pow2(a)
+
+            def padded(vals, fill=0.0, dtype=np.float64):
+                buf = np.full(B, fill, dtype=dtype)
+                buf[:a] = vals
+                return jnp.asarray(buf)
+
+            res = _k_block(
+                padded(sN[active]), padded(sd[active]), padded(log_sd[active]),
+                padded(log_pois[active]), padded(upper[active]),
+                padded(lg_N1_all[active]),
+                padded(k_st[active], fill=1.0), padded(lp_st[active], fill=-np.inf),
+                padded(el_st[active], fill=-np.inf), padded(li_st[active]),
+                padded(lgM_st[active]), padded(lgk_st[active]),
+                padded(np.zeros(a, bool), fill=True, dtype=bool),
+                lamb=lamb, beta=beta, threshold_Ek=threshold_Ek, n_steps=n_steps,
+            )
+            k_n, lp_n, el_n, li_n, lgM_n, lgk_n, dn_n = (np.asarray(r)[:a] for r in res)
+            k_st[active] = k_n
+            lp_st[active] = lp_n
+            el_st[active] = el_n
+            li_st[active] = li_n
+            lgM_st[active] = lgM_n
+            lgk_st[active] = lgk_n
+            fin = dn_n
+            eK_s[active[fin]] = np.exp(lp_n[fin])
+            active = active[~fin]
+            n_steps = min(n_steps * 2, 512)
+
+    p0_u = np.empty(m)
+    eK_u = np.empty(m)
+    p0_u[order] = p0_s
+    eK_u[order] = eK_s
     return p0_u[inverse], eK_u[inverse]
 
 
