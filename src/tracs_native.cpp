@@ -391,3 +391,129 @@ int64_t tn_sketch_file(const char* path, int64_t k, int64_t scaled,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// distance-CSV row formatter
+// ---------------------------------------------------------------------------
+//
+// The distance stage emits up to O(n^2) CSV rows; Python float repr is the
+// bottleneck there (~100k rows/s).  This formatter reproduces CPython's
+// float repr exactly — std::to_chars shortest-round-trip digits, then
+// CPython's fixed/scientific presentation rule (fixed iff -4 <= exp10 < 16,
+// integral values get a trailing ".0", scientific exponents are sign+2
+// digits) — so native and fallback writers are byte-identical.
+
+#include <charconv>
+#include <cmath>
+
+namespace {
+
+// Python-repr a double into out (no NUL); returns length.
+inline int py_repr_double(double v, char* out) {
+  if (std::isnan(v)) { memcpy(out, "nan", 3); return 3; }
+  if (std::isinf(v)) {
+    if (v < 0) { memcpy(out, "-inf", 4); return 4; }
+    memcpy(out, "inf", 3); return 3;
+  }
+  char sci[48];
+  auto res = std::to_chars(sci, sci + sizeof(sci), v, std::chars_format::scientific);
+  // sci is [-]d[.ddd]e[-+]XX : extract sign, digit string, exponent
+  const char* p = sci;
+  char* o = out;
+  if (*p == '-') { *o++ = '-'; ++p; }
+  char digits[24];
+  int nd = 0;
+  digits[nd++] = *p++;          // leading digit
+  if (*p == '.') {
+    ++p;
+    while (*p != 'e') digits[nd++] = *p++;
+  }
+  ++p;                          // 'e'
+  int exp10 = 0;
+  bool eneg = (*p == '-');
+  ++p;                          // sign (to_chars always emits one)
+  while (p < res.ptr) exp10 = exp10 * 10 + (*p++ - '0');
+  if (eneg) exp10 = -exp10;
+
+  if (-4 <= exp10 && exp10 < 16) {         // fixed notation
+    if (exp10 >= nd - 1) {                 // integral: digits, zeros, ".0"
+      memcpy(o, digits, nd); o += nd;
+      for (int i = 0; i < exp10 - (nd - 1); ++i) *o++ = '0';
+      *o++ = '.'; *o++ = '0';
+    } else if (exp10 >= 0) {               // point inside the digits
+      memcpy(o, digits, exp10 + 1); o += exp10 + 1;
+      *o++ = '.';
+      memcpy(o, digits + exp10 + 1, nd - exp10 - 1); o += nd - exp10 - 1;
+    } else {                               // 0.00ddd
+      *o++ = '0'; *o++ = '.';
+      for (int i = 0; i < -exp10 - 1; ++i) *o++ = '0';
+      memcpy(o, digits, nd); o += nd;
+    }
+  } else {                                 // scientific, CPython style
+    *o++ = digits[0];
+    if (nd > 1) {
+      *o++ = '.';
+      memcpy(o, digits + 1, nd - 1); o += nd - 1;
+    }
+    *o++ = 'e';
+    *o++ = exp10 < 0 ? '-' : '+';
+    int ae = exp10 < 0 ? -exp10 : exp10;
+    char eb[8]; int ne = 0;
+    do { eb[ne++] = char('0' + ae % 10); ae /= 10; } while (ae);
+    while (ne < 2) eb[ne++] = '0';         // at least two exponent digits
+    while (ne) *o++ = eb[--ne];
+  }
+  return (int)(o - out);
+}
+
+inline char* put_i64(int64_t v, char* o) {
+  auto r = std::to_chars(o, o + 24, (long long)v);
+  return r.ptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Debug/testing hook: Python-repr one double into out (cap >= 32). Returns len.
+int64_t tn_repr_double(double v, char* out) { return py_repr_double(v, out); }
+
+// Format n distance-CSV rows:
+//   nameA,nameB,<datediff|NA>,<d>,<p0|NA>,<eK|NA>,<filt|NA>,<nn>,<ref>\n
+// names_blob/name_off: concatenated sample names with n_names+1 offsets.
+// datediff/p0/eK may be NULL (-> "NA"); filt may be NULL (-> "NA").
+// Returns bytes written, or -1 when out_cap could be exceeded.
+int64_t tn_format_dist_rows(
+    const char* names_blob, const int64_t* name_off,
+    const int64_t* rows, const int64_t* cols, int64_t n,
+    const double* datediff, const int64_t* dvals,
+    const double* p0, const double* eK, const int64_t* filt,
+    const int64_t* nn, const char* ref, int64_t ref_len,
+    char* out, int64_t out_cap) {
+  char* o = out;
+  char* const end = out + out_cap;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t a = rows[i], b = cols[i];
+    const int64_t la = name_off[a + 1] - name_off[a];
+    const int64_t lb = name_off[b + 1] - name_off[b];
+    // worst case: names + 3 doubles (<=32) + 2 ints (<=21) + filt + ref + 9
+    if (o + la + lb + ref_len + 3 * 32 + 3 * 21 + 16 > end) return -1;
+    memcpy(o, names_blob + name_off[a], la); o += la; *o++ = ',';
+    memcpy(o, names_blob + name_off[b], lb); o += lb; *o++ = ',';
+    if (datediff) { o += py_repr_double(datediff[i], o); } else { memcpy(o, "NA", 2); o += 2; }
+    *o++ = ',';
+    o = put_i64(dvals[i], o); *o++ = ',';
+    if (p0) { o += py_repr_double(p0[i], o); } else { memcpy(o, "NA", 2); o += 2; }
+    *o++ = ',';
+    if (eK) { o += py_repr_double(eK[i], o); } else { memcpy(o, "NA", 2); o += 2; }
+    *o++ = ',';
+    if (filt) { o = put_i64(filt[i], o); } else { memcpy(o, "NA", 2); o += 2; }
+    *o++ = ',';
+    o = put_i64(nn[i], o); *o++ = ',';
+    memcpy(o, ref, ref_len); o += ref_len;
+    *o++ = '\n';
+  }
+  return (int64_t)(o - out);
+}
+
+}  // extern "C"

@@ -97,6 +97,22 @@ def _configure(lib) -> None:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, u64p, ctypes.c_int64,
     ]
 
+    lib.tn_repr_double.restype = ctypes.c_int64
+    lib.tn_repr_double.argtypes = [ctypes.c_double, ctypes.c_char_p]
+
+    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.tn_format_dist_rows.restype = ctypes.c_int64
+    lib.tn_format_dist_rows.argtypes = [
+        ctypes.c_char_p, i64p,                       # names blob + offsets
+        i64p, i64p, ctypes.c_int64,                  # rows, cols, n
+        ctypes.c_void_p, i64p,                       # datediff|NULL, dvals
+        ctypes.c_void_p, ctypes.c_void_p,            # p0|NULL, eK|NULL
+        ctypes.c_void_p,                             # filt|NULL
+        i64p, ctypes.c_char_p, ctypes.c_int64,       # nn, ref, ref_len
+        ctypes.c_char_p, ctypes.c_int64,             # out, cap
+    ]
+    lib._f64p = f64p  # stash for callers needing pointer casts
+
 
 def native_pack_fasta(path):
     """Parse + bit-pack an aligned FASTA via the native library.
@@ -131,3 +147,79 @@ def native_pack_fasta(path):
         for i in range(n)
     ]
     return PackedAlignment(planes=planes, length=L, names=names)
+
+
+def _names_blob(names):
+    """Concatenated UTF-8 names + int64 offsets for tn_format_dist_rows."""
+    offs = np.zeros(len(names) + 1, dtype=np.int64)
+    parts = []
+    pos = 0
+    for i, nm in enumerate(names):
+        b = nm.encode()
+        parts.append(b)
+        pos += len(b)
+        offs[i + 1] = pos
+    return b"".join(parts), offs
+
+
+def native_format_rows(names, rows, cols, dvals, nn, ref,
+                       datediff=None, p0=None, eK=None, filt=None,
+                       *, _blob_cache=None):
+    """Format distance-CSV rows with the native writer; None if unavailable.
+
+    Column order/content matches the reference CSV schema
+    (reference tracs/distance.py:156-158, 222-258): NA for absent
+    metadata/filter columns, Python float repr for the numeric text.
+    ``_blob_cache``: optional dict to reuse the names blob across row
+    blocks of a streaming run.
+    """
+    lib = get_lib()
+    if lib is None or len(rows) == 0:
+        return None
+
+    if _blob_cache is not None and "blob" in _blob_cache:
+        blob, offs = _blob_cache["blob"]
+    else:
+        blob, offs = _names_blob(names)
+        if _blob_cache is not None:
+            _blob_cache["blob"] = (blob, offs)
+
+    n = len(rows)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    dvals = np.ascontiguousarray(dvals, dtype=np.int64)
+    nn = np.ascontiguousarray(nn, dtype=np.int64)
+
+    def f64_or_null(x):
+        if x is None:
+            return None, None
+        arr = np.ascontiguousarray(x, dtype=np.float64)
+        return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+    def i64_or_null(x):
+        if x is None:
+            return None, None
+        arr = np.ascontiguousarray(x, dtype=np.int64)
+        return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+    dd_arr, dd_p = f64_or_null(datediff)
+    p0_arr, p0_p = f64_or_null(p0)
+    eK_arr, eK_p = f64_or_null(eK)
+    ft_arr, ft_p = i64_or_null(filt)
+
+    name_lens = offs[1:] - offs[:-1]
+    ref_b = ref.encode()
+    cap = int(
+        name_lens[rows].sum() + name_lens[cols].sum()
+        + n * (3 * 32 + 3 * 21 + 16 + len(ref_b))
+    )
+    out = ctypes.create_string_buffer(cap)
+    wrote = lib.tn_format_dist_rows(
+        blob, offs, rows, cols, n,
+        dd_p, dvals, p0_p, eK_p, ft_p,
+        nn, ref_b, len(ref_b), out, cap,
+    )
+    if wrote < 0:
+        return None
+    # string_at copies exactly `wrote` bytes (`.raw` would copy the whole cap)
+    return ctypes.string_at(out, wrote).decode()

@@ -20,6 +20,7 @@ import numpy as np
 
 from tracs_tpu.models.transcluster import calculate_trans_prob
 from tracs_tpu.ops.pairsnp import INT32_MAX, pairsnp
+from tracs_tpu.runtime.native import native_format_rows
 from tracs_tpu.utils import add_loglevel_arg, check_positive_float, check_positive_int, setup_logging
 
 
@@ -187,33 +188,58 @@ def distance(args):
             ref = ref.replace("_combined", "")
 
             if (args.metadata is not None) and (len(snp_dists[0]) > 0):
-                for i, j, dateD, snpD, expK, tranD, filtD, ncomp in zip(
-                    snp_dists[0], snp_dists[1], datediff, snp_dists[2],
-                    expectedk, transmission_dists, snp_dists[4], snp_dists[5],
-                ):
-                    if (args.trans_threshold is None) or (args.trans_threshold >= expK):
+                eK_arr = np.asarray(expectedk)
+                if args.trans_threshold is not None:
+                    keep = np.nonzero(args.trans_threshold >= eK_arr)[0]
+                else:
+                    keep = np.arange(len(snp_dists[0]))
+                txt = native_format_rows(
+                    names,
+                    np.asarray(snp_dists[0])[keep], np.asarray(snp_dists[1])[keep],
+                    np.asarray(snp_dists[2])[keep], np.asarray(snp_dists[5])[keep],
+                    ref, datediff=np.asarray(datediff)[keep],
+                    p0=np.asarray(transmission_dists)[keep], eK=eK_arr[keep],
+                    filt=(np.asarray(snp_dists[4])[keep] if args.recomb_filter else None),
+                )
+                if txt is not None:
+                    outfile.write(txt)
+                else:
+                    for i, j, dateD, snpD, expK, tranD, filtD, ncomp in zip(
+                        snp_dists[0], snp_dists[1], datediff, snp_dists[2],
+                        expectedk, transmission_dists, snp_dists[4], snp_dists[5],
+                    ):
+                        if (args.trans_threshold is None) or (args.trans_threshold >= expK):
+                            outfile.write(
+                                ",".join(
+                                    [
+                                        names[i], names[j], str(dateD), str(int(snpD)),
+                                        str(tranD), str(expK), str(filtD), str(ncomp), ref,
+                                    ]
+                                )
+                                + "\n"
+                            )
+            elif len(snp_dists[0]) > 0:
+                txt = native_format_rows(
+                    names,
+                    np.asarray(snp_dists[0]), np.asarray(snp_dists[1]),
+                    np.asarray(snp_dists[2]), np.asarray(snp_dists[5]),
+                    ref, filt=np.asarray(snp_dists[4]),
+                )
+                if txt is not None:
+                    outfile.write(txt)
+                else:
+                    for i, j, snpD, filtD, ncomp in zip(
+                        snp_dists[0], snp_dists[1], snp_dists[2], snp_dists[4], snp_dists[5]
+                    ):
                         outfile.write(
                             ",".join(
                                 [
-                                    names[i], names[j], str(dateD), str(int(snpD)),
-                                    str(tranD), str(expK), str(filtD), str(ncomp), ref,
+                                    names[i], names[j], "NA", str(int(snpD)),
+                                    "NA", "NA", str(filtD), str(ncomp), ref,
                                 ]
                             )
                             + "\n"
                         )
-            else:
-                for i, j, snpD, filtD, ncomp in zip(
-                    snp_dists[0], snp_dists[1], snp_dists[2], snp_dists[4], snp_dists[5]
-                ):
-                    outfile.write(
-                        ",".join(
-                            [
-                                names[i], names[j], "NA", str(int(snpD)),
-                                "NA", "NA", str(filtD), str(ncomp), ref,
-                            ]
-                        )
-                        + "\n"
-                    )
     return
 
 
@@ -266,6 +292,7 @@ def _distance_streaming(args, dates):
             msas = [msa, args.msa_db] if args.msa_db is not None else [msa]
             logging.info("Streaming pairwise distances for %s", msa)
             log_rate = rate_logger("pairs")
+            blob_cache = {}  # per-MSA: the names blob is shared across blocks
             for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
                 msas, dist=args.snp_threshold, filter=args.recomb_filter,
                 row_block=args.row_block, start_row=start_row,
@@ -284,21 +311,38 @@ def _distance_streaming(args, dates):
                             keep = np.nonzero(args.trans_threshold >= eK)[0]
                         else:
                             keep = np.arange(len(rows))
-                        lines = [
-                            f"{names[rows[k]]},{names[cols[k]]},{datediff[k]},"
-                            f"{int(dvals[k])},{p0[k]},{eK[k]},"
-                            f"{filt[k] if args.recomb_filter else 'NA'},{nn[k]},{ref}"
-                            for k in keep
-                        ]
-                        if lines:
-                            outfile.write("\n".join(lines) + "\n")
+                        txt = native_format_rows(
+                            names, rows[keep], cols[keep], dvals[keep],
+                            nn[keep], ref, datediff=datediff[keep],
+                            p0=p0[keep], eK=eK[keep],
+                            filt=(filt[keep] if args.recomb_filter else None),
+                            _blob_cache=blob_cache,
+                        )
+                        if txt is not None:
+                            outfile.write(txt)
+                        else:
+                            lines = [
+                                f"{names[rows[k]]},{names[cols[k]]},{datediff[k]},"
+                                f"{int(dvals[k])},{p0[k]},{eK[k]},"
+                                f"{filt[k] if args.recomb_filter else 'NA'},{nn[k]},{ref}"
+                                for k in keep
+                            ]
+                            if lines:
+                                outfile.write("\n".join(lines) + "\n")
                     elif len(rows):
-                        lines = [
-                            f"{names[rows[k]]},{names[cols[k]]},NA,"
-                            f"{int(dvals[k])},NA,NA,{filt[k]},{nn[k]},{ref}"
-                            for k in range(len(rows))
-                        ]
-                        outfile.write("\n".join(lines) + "\n")
+                        txt = native_format_rows(
+                            names, rows, cols, dvals, nn, ref, filt=filt,
+                            _blob_cache=blob_cache,
+                        )
+                        if txt is not None:
+                            outfile.write(txt)
+                        else:
+                            lines = [
+                                f"{names[rows[k]]},{names[cols[k]]},NA,"
+                                f"{int(dvals[k])},NA,NA,{filt[k]},{nn[k]},{ref}"
+                                for k in range(len(rows))
+                            ]
+                            outfile.write("\n".join(lines) + "\n")
                     outfile.flush()
                     with open(cursor_path, "w") as fh:
                         json.dump({"msa_index": mi, "next_row": r1}, fh)
