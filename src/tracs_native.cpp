@@ -517,3 +517,110 @@ int64_t tn_format_dist_rows(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// distance-CSV reader (cluster stage ingest)
+// ---------------------------------------------------------------------------
+//
+// The cluster stage streams the (up to O(n^2)-row) distance CSV back in;
+// the reference parses it line-by-line in Python (tracs/cluster.py:90-113).
+// Semantics preserved: header skipped blindly, sample ids assigned in
+// first-appearance order scanning (sampleA, sampleB) row by row, edges kept
+// when float(field[col]) <= threshold, a non-numeric metric field is an
+// error (the reference's float("NA") ValueError).
+
+#include <string_view>
+#include <unordered_map>
+
+extern "C" {
+
+// Count data rows (lines after the header).  Returns >= 0 or -1 on open error.
+int64_t tn_dist_csv_scan(const char* path) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+  std::string line;
+  int64_t n = -1;  // header
+  while (r.getline(line)) ++n;
+  return n < 0 ? 0 : n;
+}
+
+// Parse the CSV.  I/J receive first-appearance sample ids of rows whose
+// metric value <= threshold (cap_edges >= n_rows from tn_dist_csv_scan).
+// names_blob receives NUL-terminated names in id order.  Outputs:
+// n_out[0]=n_edges, n_out[1]=n_names, n_out[2]=n_rows, n_out[3]=blob bytes.
+// Returns 0, or: -1 open, -2 blob overflow, -3 short row, -4 bad float.
+int64_t tn_read_dist_csv(const char* path, int64_t col_index, double threshold,
+                         int64_t* I, int64_t* J, int64_t cap_edges,
+                         char* names_blob, int64_t names_cap,
+                         int64_t* n_out) {
+  GzReader r(path);
+  if (!r.ok()) return -1;
+  std::string line;
+  if (!r.getline(line)) {  // empty file: zero rows
+    n_out[0] = n_out[1] = n_out[2] = n_out[3] = 0;
+    return 0;
+  }
+  std::unordered_map<std::string, int64_t> ids;
+  int64_t blob_len = 0, n_edges = 0, n_rows = 0;
+
+  auto intern = [&](const char* s, size_t len) -> int64_t {
+    auto it = ids.find(std::string(s, len));
+    if (it != ids.end()) return it->second;
+    int64_t id = (int64_t)ids.size();
+    ids.emplace(std::string(s, len), id);
+    if (blob_len + (int64_t)len + 1 > names_cap) return -1;
+    memcpy(names_blob + blob_len, s, len);
+    blob_len += len;
+    names_blob[blob_len++] = '\0';
+    return id;
+  };
+
+  while (r.getline(line)) {
+    // strip (reference .strip())
+    const char* b = line.c_str();
+    const char* e = b + line.size();
+    while (b < e && (unsigned char)*b <= ' ') ++b;
+    while (e > b && (unsigned char)e[-1] <= ' ') --e;
+    // split fields on ','
+    const char* f[16];
+    size_t fl[16];
+    int nf = 0;
+    const char* p = b;
+    while (nf < 16) {
+      const char* c = (const char*)memchr(p, ',', e - p);
+      f[nf] = p;
+      fl[nf] = (c ? c : e) - p;
+      ++nf;
+      if (!c) break;
+      p = c + 1;
+    }
+    if (nf < 2 || col_index >= nf) return -3;
+    int64_t ia = intern(f[0], fl[0]);
+    if (ia < 0) return -2;
+    int64_t ib = intern(f[1], fl[1]);
+    if (ib < 0) return -2;
+    // float(field) semantics: full-field numeric parse (ws tolerated)
+    char tmp[64];
+    size_t vl = fl[col_index] < 63 ? fl[col_index] : 63;
+    memcpy(tmp, f[col_index], vl);
+    tmp[vl] = '\0';
+    char* endp = nullptr;
+    double v = strtod(tmp, &endp);
+    while (endp && *endp && (unsigned char)*endp <= ' ') ++endp;
+    if (endp == tmp || (endp && *endp)) return -4;
+    if (v <= threshold) {
+      if (n_edges >= cap_edges) return -3;
+      I[n_edges] = ia;
+      J[n_edges] = ib;
+      ++n_edges;
+    }
+    ++n_rows;
+  }
+  n_out[0] = n_edges;
+  n_out[1] = (int64_t)ids.size();
+  n_out[2] = n_rows;
+  n_out[3] = blob_len;
+  return 0;
+}
+
+}  // extern "C"

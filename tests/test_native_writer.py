@@ -120,3 +120,25 @@ def test_stage_native_vs_fallback(tmp_path, monkeypatch, rng):
     assert a == b
     c = _run_distance(tmp_path, monkeypatch, True, True, aln, dates_csv)
     assert a == c
+
+
+def test_native_dist_csv_reader(tmp_path, rng):
+    if tn.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    p = tmp_path / "d.csv"
+    p.write_text(
+        "h\n"
+        "b,a,0.1,5,0.9,0.5,1,8,ref\n"
+        "a,c,0.1,99,0.9,0.5,1,8,ref\n"
+        "c,b,0.1,2,0.9,0.5,1,8,ref\n"
+    )
+    I, J, names, count = tn.native_read_dist_csv(str(p), 3, 10)
+    assert names == ["b", "a", "c"]  # first-appearance order
+    assert count == 3
+    assert list(zip(I, J)) == [(0, 1), (2, 0)]  # rows with snp <= 10
+
+    # float("NA") parity: a literal NA in the metric column raises
+    q = tmp_path / "e.csv"
+    q.write_text("h\na,b,NA,5,NA,NA,0,8,ref\n")
+    with pytest.raises(ValueError):
+        tn.native_read_dist_csv(str(q), 2, 10)

@@ -504,17 +504,21 @@ class TransClusterCache:
     def lookup(self, snpdiff, datediff):
         snpdiff = np.asarray(snpdiff, dtype=np.int64)
         datediff = np.asarray(datediff, dtype=np.float64)
-        keys = list(zip(snpdiff.tolist(), datediff.tolist()))
-        novel = sorted({k for k in keys if k not in self._memo})
+        if snpdiff.size == 0:
+            return np.zeros(0), np.zeros(0)
+        # dedup in numpy first: Python dict work is O(unique), not O(pairs)
+        keys = np.stack([snpdiff.astype(np.float64), datediff], axis=1)
+        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+        tuples = [(int(n), float(d)) for n, d in uniq]
+        novel = [t for t in tuples if t not in self._memo]
         if novel:
             ns = np.array([k[0] for k in novel], dtype=np.int64)
             ds = np.array([k[1] for k in novel], dtype=np.float64)
             p0, eK = trans_dist(ns, ds, self.lamb, self.beta, self.threshold_Ek)
             for k, p, e in zip(novel, p0, eK):
                 self._memo[k] = (float(p), float(e))
-        p0 = np.array([self._memo[k][0] for k in keys])
-        eK = np.array([self._memo[k][1] for k in keys])
-        return p0, eK
+        vals = np.array([self._memo[t] for t in tuples], dtype=np.float64)
+        return vals[inverse, 0], vals[inverse, 1]
 
 
 # ---------------------------------------------------------------------------

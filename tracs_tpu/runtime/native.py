@@ -100,6 +100,16 @@ def _configure(lib) -> None:
     lib.tn_repr_double.restype = ctypes.c_int64
     lib.tn_repr_double.argtypes = [ctypes.c_double, ctypes.c_char_p]
 
+    lib.tn_dist_csv_scan.restype = ctypes.c_int64
+    lib.tn_dist_csv_scan.argtypes = [ctypes.c_char_p]
+
+    lib.tn_read_dist_csv.restype = ctypes.c_int64
+    lib.tn_read_dist_csv.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_double,
+        i64p, i64p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, i64p,
+    ]
+
     f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
     lib.tn_format_dist_rows.restype = ctypes.c_int64
     lib.tn_format_dist_rows.argtypes = [
@@ -223,3 +233,47 @@ def native_format_rows(names, rows, cols, dvals, nn, ref,
         return None
     # string_at copies exactly `wrote` bytes (`.raw` would copy the whole cap)
     return ctypes.string_at(out, wrote).decode()
+
+
+def native_read_dist_csv(path, col_index, threshold):
+    """Parse a distance CSV for the cluster stage via the native reader.
+
+    Returns (I, J, names, n_rows) — edge endpoint ids (first-appearance
+    order), the id-ordered sample names, and the data row count — or None
+    when the native path is unavailable.  Raises ValueError on a
+    non-numeric metric field (reference float() parity) or a short row.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    path_b = os.fspath(path).encode()
+    n_rows = lib.tn_dist_csv_scan(path_b)
+    if n_rows < 0:
+        return None
+    I = np.zeros(max(n_rows, 1), dtype=np.int64)
+    J = np.zeros(max(n_rows, 1), dtype=np.int64)
+    n_out = np.zeros(4, dtype=np.int64)
+    names_cap = 1 << 22
+    while True:
+        blob = ctypes.create_string_buffer(names_cap)
+        rc = lib.tn_read_dist_csv(
+            path_b, col_index, float(threshold), I, J, max(n_rows, 1),
+            blob, names_cap, n_out,
+        )
+        if rc == -2 and names_cap < (1 << 30):
+            names_cap *= 8
+            continue
+        break
+    if rc == -4:
+        raise ValueError(f"could not convert distance column {col_index} to float")
+    if rc == -3:
+        raise ValueError("malformed distance CSV row (too few columns)")
+    if rc != 0:
+        return None
+    n_edges, n_names, n_rows, blob_len = (int(x) for x in n_out)
+    names = (
+        ctypes.string_at(blob, blob_len).decode().split("\x00")[:-1]
+        if blob_len
+        else []
+    )
+    return I[:n_edges], J[:n_edges], names, n_rows

@@ -74,19 +74,55 @@ def cluster(args):
             indices[name] = len(indices)
         return indices[name]
 
-    I, J = [], []
-    count = 0
-    with open(args.distance_file, "r") as infile:
-        next(infile)
-        for line in infile:
-            line = line.strip().split(",")
-            i = index_of(line[0])
-            j = index_of(line[1])
-            if float(line[col_index]) <= args.threshold:
-                I.append(i)
-                J.append(j)
-            count += 1
+    # Native C++ reader (src/tracs_native.cpp::tn_read_dist_csv) — a
+    # 10k-sample all-pairs run emits ~50M rows.  Semantics preserved:
+    # header skipped blindly, row-by-row first-appearance sample indexing,
+    # float() parsing of the metric column (a literal "NA" raises).
+    from tracs_tpu.runtime.native import native_read_dist_csv
 
+    nat = native_read_dist_csv(args.distance_file, col_index, args.threshold)
+    if nat is not None:
+        I, J, nat_names, count = nat
+        for nm in nat_names:
+            indices[nm] = len(indices)
+        return _finish_cluster(args, indices, I, J, count)
+
+    # pandas fallback (chunked C engine); the interleaved ravel of
+    # (sampleA, sampleB) reproduces the first-appearance indexing exactly
+    import pandas as pd
+
+    I_parts, J_parts = [], []
+    count = 0
+    # header=None + skiprows=1: the reference skips the header line blindly.
+    # keep_default_na=False + na_values=[]: a literal "NA" in the metric
+    # column raises, exactly like the reference's float(line[col]).
+    for chunk in pd.read_csv(
+        args.distance_file, header=None, skiprows=1,
+        usecols=[0, 1, col_index], dtype={col_index: np.float64},
+        keep_default_na=False, na_values=[],
+        chunksize=2_000_000, engine="c",
+    ):
+        a = chunk.iloc[:, 0].to_numpy()
+        b = chunk.iloc[:, 1].to_numpy()
+        inter = np.empty(2 * len(a), dtype=object)
+        inter[0::2] = a
+        inter[1::2] = b
+        codes, uniques = pd.factorize(inter)
+        gids = np.empty(len(uniques), dtype=np.int64)
+        for u_i, u in enumerate(uniques):
+            gids[u_i] = index_of(u)
+        vals = chunk.iloc[:, 2].to_numpy()
+        keep = vals <= args.threshold
+        I_parts.append(gids[codes[0::2]][keep])
+        J_parts.append(gids[codes[1::2]][keep])
+        count += len(a)
+
+    I = np.concatenate(I_parts) if I_parts else np.zeros(0, dtype=np.int64)
+    J = np.concatenate(J_parts) if J_parts else np.zeros(0, dtype=np.int64)
+    return _finish_cluster(args, indices, I, J, count)
+
+
+def _finish_cluster(args, indices, I, J, count):
     if count <= 0:
         logging.warning("No distances available! Abandoning clustering.")
         return

@@ -278,6 +278,23 @@ def _distance_streaming(args, dates):
     def secs(name):
         return (dates[name][1] - reftime).total_seconds()
 
+    # lazily-filled per-sample seconds, so datediff per block is one numpy
+    # gather instead of O(pairs) dict work; a missing date still raises
+    # KeyError on the sample's first emitted pair (reference parity)
+    secs_arr = None
+    secs_known = None
+
+    def datediff_for(names, rows, cols):
+        nonlocal secs_arr, secs_known
+        if secs_arr is None or secs_arr.size < len(names):
+            secs_arr = np.zeros(len(names))
+            secs_known = np.zeros(len(names), dtype=bool)
+        needed = np.unique(np.concatenate([rows, cols]))
+        for i in needed[~secs_known[needed]]:
+            secs_arr[i] = secs(names[i])
+            secs_known[i] = True
+        return np.abs(secs_arr[rows] - secs_arr[cols]) / SECONDS_IN_YEAR
+
     with open(args.output_file, mode) as outfile:
         if mode == "w":
             outfile.write(
@@ -293,6 +310,7 @@ def _distance_streaming(args, dates):
             logging.info("Streaming pairwise distances for %s", msa)
             log_rate = rate_logger("pairs")
             blob_cache = {}  # per-MSA: the names blob is shared across blocks
+            secs_arr = secs_known = None  # per-MSA sample indexing
             for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
                 msas, dist=args.snp_threshold, filter=args.recomb_filter,
                 row_block=args.row_block, start_row=start_row,
@@ -300,11 +318,7 @@ def _distance_streaming(args, dates):
                 with phase("block rows [%d,%d): %d pairs" % (r0, r1, len(rows))):
                     if dates is not None and len(rows):
                         dist_col = filt if args.recomb_filter else dvals
-                        secs_cache = {i: secs(names[i]) for i in set(rows) | set(cols)}
-                        datediff = np.abs(
-                            np.array([secs_cache[i] for i in rows])
-                            - np.array([secs_cache[j] for j in cols])
-                        ) / SECONDS_IN_YEAR
+                        datediff = datediff_for(names, rows, cols)
                         p0, eK = cache.lookup(dist_col, datediff)
                         p0 = np.exp(p0)
                         if args.trans_threshold is not None:
