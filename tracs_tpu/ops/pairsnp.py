@@ -199,11 +199,34 @@ def _gram_partial(part_a: jnp.ndarray, part_b: jnp.ndarray):
     )
 
 
-@partial(jax.jit, static_argnames=("wc", "n_chunks", "with_nn"))
-def _dense_split(excl_a, n_a, excl_b, n_b, *, wc: int, n_chunks: int, with_nn: bool):
-    """Unrolled chunk loop — see _gram_mxu for why not lax.scan."""
+@partial(jax.jit, static_argnames=("wc", "n_chunks", "with_nn", "same"))
+def _dense_split(
+    excl_a, n_a, excl_b, n_b, *, wc: int, n_chunks: int, with_nn: bool = True,
+    same: bool = False,
+):
+    """Unrolled chunk loop — see _gram_mxu for why not lax.scan.
+
+    Two plain grams per chunk instead of the signed 5-channel matmul:
+    G4 = dot(ex_bits_a, ex_bits_b) (4 channels flattened into the K axis)
+    and Gn = dot(n_bits_a, n_bits_b); m = G4 - Gn.  Same MAC count as the
+    signed trick, but (a) each operand's channels are unpacked ONCE into a
+    single int8 array instead of twice (the +N and -N concatenations defeat
+    CSE), (b) ``same=True`` collapses the self-comparison to dot(x, x) so
+    the symmetric sweep unpacks one operand total, and (c) Gn — and hence
+    the comparable-sites matrix — falls out for free.  Measured on v5e at
+    n=1024, L=1 Mb: 42 ms/sweep vs 240 ms for the signed-channel version
+    (the unpack, not the MXU, was the bound).  ``with_nn`` is accepted for
+    API compatibility; Gn is always computed (it costs nothing extra).
+    """
+    del with_nn
     na, nb = excl_a.shape[0], excl_b.shape[0]
     W = excl_a.shape[2]
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
     acc = jnp.zeros((na, nb), jnp.int32)
     accn = jnp.zeros((na, nb), jnp.int32)
     for c in range(n_chunks):
@@ -214,16 +237,19 @@ def _dense_split(excl_a, n_a, excl_b, n_b, *, wc: int, n_chunks: int, with_nn: b
             )
         end = min((c + 1) * wc, W)
         ea = jax.lax.slice_in_dim(excl_a, c * wc, end, axis=2)
-        eb = jax.lax.slice_in_dim(excl_b, c * wc, end, axis=2)
         ma = jax.lax.slice_in_dim(n_a, c * wc, end, axis=1)
-        mb = jax.lax.slice_in_dim(n_b, c * wc, end, axis=1)
-        acc = acc + _gram_split_chunk(ea, ma, eb, mb)
-        if with_nn:
-            an = _unpack_bits(ma)
-            bn = _unpack_bits(mb)
-            accn = accn + jax.lax.dot_general(
-                an, bn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-            )
+        ba = _unpack_bits(ea).reshape(na, -1)
+        bna = _unpack_bits(ma)
+        if same:
+            bb, bnb = ba, bna
+        else:
+            eb = jax.lax.slice_in_dim(excl_b, c * wc, end, axis=2)
+            mb = jax.lax.slice_in_dim(n_b, c * wc, end, axis=1)
+            bb = _unpack_bits(eb).reshape(nb, -1)
+            bnb = _unpack_bits(mb)
+        gn = dot(bna, bnb)
+        acc = acc + dot(ba, bb) - gn
+        accn = accn + gn
     return acc, accn
 
 
@@ -258,17 +284,15 @@ def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30)
     if _SPLIT_IMPL == "xla":
         return False
     # Measured regime on the v5e chip (see scripts/kernel_experiments.py):
-    # at n>=~512 the XLA path amortises its one-off channel expansion over
-    # enough pairs to sit at the chip's MXU bound (4.4M 1Mb-pairs/s D-only),
-    # while the fused kernel re-unpacks operand tiles per (i, j) step and
-    # tops out lower.  At mid sizes (128..512 rows) the fused kernel wins
-    # (75ms vs 90ms at n=256, L=1M) because the XLA expansion is O(n*L) and
-    # not yet amortised.  Below 128 rows everything is padding + latency.
-    return (
-        jax.default_backend() == "tpu"
-        and 128 <= max(na, nb) < 512
-        and wpad >= 4096  # >= ~131k sites
-    )
+    # since the two-gram rewrite of _dense_split (unpack-once + dot(x, x)
+    # self-comparison, one chunk for 1 Mb genomes) the XLA path wins at
+    # EVERY size — e.g. n=256, L=1M: 12 ms vs the fused kernel's 75 ms; at
+    # n=1024 it runs the sweep in 40 ms (26M pairs/s, ~30% of the chip's
+    # achievable int8 matmul rate at this shape), while the fused kernel
+    # re-unpacks operand tiles per (i, j) grid step and tops out lower.
+    # The kernel remains available via TRACS_TPU_SPLIT_IMPL=pallas.
+    del na, nb, wpad
+    return False
 
 
 @jax.jit
@@ -294,10 +318,8 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
     path (~5 MACs/site for consensus-style data).
 
     matches = (G4 - Gn) + Gpartial + cntN_i + cntN_j ;  D = L - matches
-    NN = L - cntN_i - cntN_j + Gn   (None when with_nn=False — callers that
-    only need NN on threshold-surviving pairs use comparable_sites_pairs; the
-    fused Pallas kernel computes Gn as a by-product, so on that path NN is
-    returned regardless)
+    NN = L - cntN_i - cntN_j + Gn.  Gn is a free by-product of every path,
+    so NN is always returned; ``with_nn`` is kept for API compatibility.
 
     Keeping the result on device lets callers threshold/compact there and
     download only surviving pairs — on tunneled TPUs the dense matrix
@@ -320,17 +342,18 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
         from tracs_tpu.ops.pallas_kernels import split_gram_pallas
 
         m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask, as_device=True)
-        with_nn = True
     else:
+        same = sb is sa
         if chunk_sites is None:
-            chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 5)
+            rows = sa.n_seqs if same else sa.n_seqs + sb.n_seqs
+            chunk_sites = _auto_chunk_sites(rows, 5)
         wc = max(8, min(chunk_sites // 32, Wpad))
         if wc > 256:
             wc = (wc // 256) * 256
         n_chunks = math.ceil(Wpad / wc)
 
         m, gn = _dense_split(
-            ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, with_nn=with_nn,
+            ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, same=same,
         )
 
     if sa.n_partial or sb.n_partial:
@@ -346,7 +369,7 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
     cnt_b = _cnt_device(sb) if sb is not sa else cnt_a
     L32 = jnp.int32(L)  # a bare python int would trace as i64 under x64
     D = _assemble_d(m, gp, cnt_a, cnt_b, L32)
-    NN = _assemble_nn(gn, cnt_a, cnt_b, L32) if with_nn else None
+    NN = _assemble_nn(gn, cnt_a, cnt_b, L32)
     return D, NN
 
 
@@ -479,14 +502,19 @@ def _gram_popcount(planes_a: jnp.ndarray, planes_b: jnp.ndarray):
     return jax.lax.map(row, planes_a)
 
 
-_CHUNK_BYTES_BUDGET = int(os.environ.get("TRACS_TPU_CHUNK_BYTES", 2 << 30))
+_CHUNK_BYTES_BUDGET = int(os.environ.get("TRACS_TPU_CHUNK_BYTES", 5 << 30))
 
 
 def _auto_chunk_sites(n: int, channels: int) -> int:
-    """Largest site chunk whose expanded channels fit the HBM budget —
-    fewer, larger chunks keep the MXU pipeline full.  Accounting: 2 operands
-    x (int8 bits + uint8 shift intermediate) = ~4 bytes/site/channel."""
-    sites = _CHUNK_BYTES_BUDGET // max(1, 4 * n * channels)
+    """Largest site chunk whose expanded int8 channels fit the HBM budget —
+    fewer, larger chunks keep the MXU pipeline full (ideally ONE chunk:
+    every chunk boundary is an optimization_barrier that stalls the MXU
+    behind the next chunk's unpack).  ``n`` counts materialised operand
+    rows: na for a self-comparison (dot(x, x) reads one operand), na+nb
+    otherwise.  Accounting: 1 int8 byte/site/channel/row; the uint8 shift
+    intermediates fuse into the unpack loop and the dot re-reads the same
+    materialised bytes."""
+    sites = _CHUNK_BYTES_BUDGET // max(1, n * channels)
     return max(8 * 32, min(sites, 64 << 20))
 
 
