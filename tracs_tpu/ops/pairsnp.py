@@ -572,6 +572,18 @@ def _slice_split(sa, r0: int, r1: int):
     )
 
 
+def _slice_split_device(sa, r0: int, r1: int):
+    """Row-block slice whose device cache is sliced FROM the parent's device
+    cache: the block's planes never re-cross the host link (a host-side
+    slice would re-upload row_block x 5 x W words per block through the
+    tunnel)."""
+    blk = _slice_split(sa, r0, r1)
+    Wpad, ea, nm, pt = _split_device(sa)
+    blk._dev_cache = (Wpad, ea[r0:r1], nm[r0:r1], pt[r0:r1])
+    blk._dev_cnt = _cnt_device(sa)[r0:r1]
+    return blk
+
+
 def snp_distance_dense(
     a: PackedAlignment,
     b: PackedAlignment | None = None,
@@ -750,16 +762,31 @@ def pairsnp_stream(
         sa = _cached_split(a_k)
         sb = sa if b_k is a_k else _cached_split(b_k)
 
-    for r0 in range(start_row, a.n_seqs, row_block):
-        r1 = min(a.n_seqs, r0 + row_block)
+    def _launch(r0: int, r1: int):
+        """Enqueue one block's device work (sweep + survivor count) without
+        waiting on it.  Dispatch is async, so launching block k+1 before
+        downloading block k's count keeps the chip busy through the count's
+        host-link round-trip and the host-side post-processing (NN gathers,
+        recomb filter) of block k — one-deep software pipelining."""
+        sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split_device(sa, r0, r1)
+        D_dev, _ = snp_distance_split_device(sblk, sb, with_nn=False)
+        cnt_dev = _count_survivors(D_dev, dist, jnp.int32(r0), triangle=triangle)
+        return sblk, D_dev, cnt_dev
+
+    spans = [
+        (r0, min(a.n_seqs, r0 + row_block))
+        for r0 in range(start_row, a.n_seqs, row_block)
+    ]
+    pending = _launch(*spans[0]) if (spans and method == "split") else None
+
+    for k, (r0, r1) in enumerate(spans):
         block_elems = (r1 - r0) * b.n_seqs
         if method == "split":
-            sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split(sa, r0, r1)
-            D_dev, _ = snp_distance_split_device(sblk, sb, with_nn=False)
+            sblk, D_dev, cnt_dev = pending
+            if k + 1 < len(spans):
+                pending = _launch(*spans[k + 1])
             NN = None
-            count = int(
-                np.asarray(_count_survivors(D_dev, dist, jnp.int32(r0), triangle=triangle))
-            )
+            count = int(np.asarray(cnt_dev))
             if 2 * count <= block_elems:
                 # sparse survivors: compact on device, download only pairs
                 # (the dense matrix download rivals compute on tunneled TPUs)
@@ -787,9 +814,7 @@ def pairsnp_stream(
         elif len(rows) * 20 > block_elems:
             # dense survivors: one 1-channel dense gram beats millions of
             # per-pair mask gathers
-            NN_blk = comparable_sites_dense(
-                sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split(sa, r0, r1), sb
-            )
+            NN_blk = comparable_sites_dense(sblk, sb)
             nvals = NN_blk[rows - r0, cols].astype(np.int64)
         else:
             # sparse survivors: comparable sites per pair
