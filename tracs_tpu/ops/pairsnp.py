@@ -15,13 +15,14 @@ MAC cost)
 
        match(u,v) = Σ_x û_x·v̂_x − n_u·n_v + n_u + n_v + partial-correction
 
-   — one signed 5-channel int8 MXU matmul + per-sample count terms, plus a
-   10-channel correction gram over sites gathered where any sample holds a
-   2-/3-bit IUPAC code (rare).  Comparable sites come lazily per surviving
-   pair (host popcount of N masks) or from a dense 1-channel N gram when
-   survivors are dense.  ~5 MACs/site.  Measured 4.3M 1Mb-genome pairs/s
-   on one TPU v5e chip at n=1024 — the chip's measured MXU bound (~20
-   TMAC/s; see ARCHITECTURE.md).
+   — two plain int8 grams per word chunk (G4 over the 4 exclusive channels
+   and Gn over the N masks, each operand's channels unpacked ONCE; see
+   ``_dense_split``), plus a 10-channel correction gram over sites gathered
+   where any sample holds a 2-/3-bit IUPAC code (rare).  The comparable-
+   sites matrix NN falls out of Gn for free.  ~5 MACs/site.  Measured 26M
+   1Mb-genome pairs/s on one TPU v5e chip at n=1024 (42 ms/sweep,
+   scalar-sync timing; ~30% of the chip's achievable int8 matmul rate at
+   this shape — see ARCHITECTURE.md).
 
 2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
    [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
@@ -319,7 +320,8 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
 
     matches = (G4 - Gn) + Gpartial + cntN_i + cntN_j ;  D = L - matches
     NN = L - cntN_i - cntN_j + Gn.  Gn is a free by-product of every path,
-    so NN is always returned; ``with_nn`` is kept for API compatibility.
+    but ``with_nn=False`` skips the NN *assembly* (returns None) so callers
+    that never read it do not pay for its materialisation or download.
 
     Keeping the result on device lets callers threshold/compact there and
     download only surviving pairs — on tunneled TPUs the dense matrix
@@ -369,7 +371,7 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
     cnt_b = _cnt_device(sb) if sb is not sa else cnt_a
     L32 = jnp.int32(L)  # a bare python int would trace as i64 under x64
     D = _assemble_d(m, gp, cnt_a, cnt_b, L32)
-    NN = _assemble_nn(gn, cnt_a, cnt_b, L32)
+    NN = _assemble_nn(gn, cnt_a, cnt_b, L32) if with_nn else None
     return D, NN
 
 
@@ -392,12 +394,14 @@ def _count_survivors(D, dist, r0, *, triangle: bool):
     return jnp.sum(mask, dtype=jnp.int64)
 
 
-@partial(jax.jit, static_argnames=("capacity", "triangle"))
-def _extract_coo(D, dist, r0, *, capacity: int, triangle: bool):
+@partial(jax.jit, static_argnames=("capacity", "triangle", "with_nn"))
+def _extract_coo(D, NN, dist, r0, *, capacity: int, triangle: bool, with_nn: bool = False):
     """Device-side sparse COO extraction: flat row-major indices and values
     of entries with D <= dist (and j > global row when triangle), padded to
     a static capacity.  Row-major flat order == the reference's emission
-    order within a row block."""
+    order within a row block.  With ``with_nn`` the comparable-site matrix
+    (the sweep's free Gn by-product) is gathered at the same indices, so
+    survivors never need a second gram pass or host popcounts."""
     na, nb = D.shape
     mask = D <= dist
     if triangle:
@@ -408,24 +412,31 @@ def _extract_coo(D, dist, r0, *, capacity: int, triangle: bool):
     (idx,) = jnp.nonzero(flat, size=capacity, fill_value=na * nb)
     safe = jnp.minimum(idx, na * nb - 1)
     vals = jnp.take(D.ravel(), safe)
-    return idx, vals
+    nvals = jnp.take(NN.ravel(), safe) if with_nn else jnp.zeros((), jnp.int32)
+    return idx, vals, nvals
 
 
-def _stream_block_sparse(D_dev, dist, r0, nb, count, *, triangle):
+def _stream_block_sparse(D_dev, NN_dev, dist, r0, nb, count, *, triangle):
     """Threshold + compact one row block on device; download survivors only.
-    Returns (rows_local, cols, dvals) numpy arrays in row-major order."""
+    Returns (rows_local, cols, dvals, nvals) numpy arrays in row-major
+    order (``nvals`` is None when NN_dev is None)."""
     if count == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
+        return z, z.copy(), z.copy(), z.copy()
     # bucket capacity to powers of two to bound recompiles
     capacity = 1 << max(12, int(math.ceil(math.log2(count))))
     capacity = min(capacity, int(D_dev.shape[0]) * int(nb))
-    idx, vals = _extract_coo(D_dev, dist, jnp.int32(r0), capacity=capacity, triangle=triangle)
+    with_nn = NN_dev is not None
+    idx, vals, nvals = _extract_coo(
+        D_dev, NN_dev if with_nn else D_dev, dist, jnp.int32(r0),
+        capacity=capacity, triangle=triangle, with_nn=with_nn,
+    )
     idx = np.asarray(idx)[:count].astype(np.int64)
     dvals = np.asarray(vals)[:count].astype(np.int64)
+    nn = np.asarray(nvals)[:count].astype(np.int64) if with_nn else None
     rows_local = idx // nb
     cols = idx % nb
-    return rows_local, cols, dvals
+    return rows_local, cols, dvals, nn
 
 
 @partial(jax.jit, static_argnames=("wc", "n_chunks"))
@@ -454,7 +465,9 @@ def comparable_sites_dense(sa, sb) -> np.ndarray:
         nb_mask = na_mask
     else:
         _, _, nb_mask, _ = _split_device(sb)
-    chunk_sites = _auto_chunk_sites(max(sa.n_seqs, sb.n_seqs), 1)
+    # _gn_dense unpacks both operands (two distinct jit parameters, even for
+    # a self-comparison — no CSE), so materialised rows = na + nb
+    chunk_sites = _auto_chunk_sites(sa.n_seqs + sb.n_seqs, 1)
     wc = max(8, min(chunk_sites // 32, Wpad))
     if wc > 256:
         wc = (wc // 256) * 256
@@ -511,10 +524,12 @@ def _auto_chunk_sites(n: int, channels: int) -> int:
     every chunk boundary is an optimization_barrier that stalls the MXU
     behind the next chunk's unpack).  ``n`` counts materialised operand
     rows: na for a self-comparison (dot(x, x) reads one operand), na+nb
-    otherwise.  Accounting: 1 int8 byte/site/channel/row; the uint8 shift
-    intermediates fuse into the unpack loop and the dot re-reads the same
-    materialised bytes."""
-    sites = _CHUNK_BYTES_BUDGET // max(1, n * channels)
+    otherwise.  Accounting: ~2 bytes/site/channel/row — 1 for the final
+    int8 channel array plus ~1 for the uint8 shift intermediate in
+    ``_unpack_bits``, which XLA materialises rather than fusing into the
+    dot operand (its own docstring; confirmed by HBM OOMs at the 1-byte
+    accounting on 16 GB chips)."""
+    sites = _CHUNK_BYTES_BUDGET // max(1, 2 * n * channels)
     return max(8 * 32, min(sites, 64 << 20))
 
 
@@ -767,11 +782,14 @@ def pairsnp_stream(
         waiting on it.  Dispatch is async, so launching block k+1 before
         downloading block k's count keeps the chip busy through the count's
         host-link round-trip and the host-side post-processing (NN gathers,
-        recomb filter) of block k — one-deep software pipelining."""
+        recomb filter) of block k — one-deep software pipelining.  NN comes
+        free with the sweep (Gn by-product) and is kept on device; survivor
+        entries are gathered from it alongside the COO extraction, so no
+        second gram / host popcount pass is ever needed."""
         sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split_device(sa, r0, r1)
-        D_dev, _ = snp_distance_split_device(sblk, sb, with_nn=False)
+        D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
         cnt_dev = _count_survivors(D_dev, dist, jnp.int32(r0), triangle=triangle)
-        return sblk, D_dev, cnt_dev
+        return sblk, D_dev, NN_dev, cnt_dev
 
     spans = [
         (r0, min(a.n_seqs, r0 + row_block))
@@ -781,8 +799,9 @@ def pairsnp_stream(
 
     for k, (r0, r1) in enumerate(spans):
         block_elems = (r1 - r0) * b.n_seqs
+        nvals = None
         if method == "split":
-            sblk, D_dev, cnt_dev = pending
+            sblk, D_dev, NN_dev, cnt_dev = pending
             if k + 1 < len(spans):
                 pending = _launch(*spans[k + 1])
             NN = None
@@ -790,13 +809,14 @@ def pairsnp_stream(
             if 2 * count <= block_elems:
                 # sparse survivors: compact on device, download only pairs
                 # (the dense matrix download rivals compute on tunneled TPUs)
-                rows_l, cols, dvals = _stream_block_sparse(
-                    D_dev, dist, r0, b.n_seqs, count, triangle=triangle
+                rows_l, cols, dvals, nvals = _stream_block_sparse(
+                    D_dev, NN_dev, dist, r0, b.n_seqs, count, triangle=triangle
                 )
                 rows = rows_l + r0
                 D = None
             else:
                 D = np.asarray(D_dev)
+                NN = np.asarray(NN_dev)
         else:
             block = PackedAlignment(a_k.planes[r0:r1], a_k.length, a_k.names[r0:r1])
             D, NN = snp_distance_dense(block, b_k, method=method)
@@ -809,16 +829,8 @@ def pairsnp_stream(
             rows, cols = np.nonzero(mask)
             dvals = D[rows, cols].astype(np.int64)
             rows = rows + r0
-        if NN is not None:
+        if nvals is None:
             nvals = NN[rows - r0, cols].astype(np.int64)
-        elif len(rows) * 20 > block_elems:
-            # dense survivors: one 1-channel dense gram beats millions of
-            # per-pair mask gathers
-            NN_blk = comparable_sites_dense(sblk, sb)
-            nvals = NN_blk[rows - r0, cols].astype(np.int64)
-        else:
-            # sparse survivors: comparable sites per pair
-            nvals = comparable_sites_pairs(sa, sb, rows, cols)
         if nn_off:
             nvals = nvals + nn_off
         if filter and len(rows):

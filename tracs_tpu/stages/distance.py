@@ -131,11 +131,17 @@ def distance(args):
     if getattr(args, "row_block", None):
         return _distance_streaming(args, dates)
 
-    # large inputs stream automatically: bounded host memory + resumable
-    try:
-        n_first = sum(1 for line in _open_any(args.msa_files[0]) if line.startswith(">"))
-    except OSError:
-        n_first = 0
+    # large inputs stream automatically: bounded host memory + resumable.
+    # Every MSA counts — any single large file is reason enough to stream.
+    n_first = 0
+    for path in args.msa_files:
+        try:
+            n_first = max(
+                n_first,
+                sum(1 for line in _open_any(path) if line.startswith(">")),
+            )
+        except OSError:
+            pass
     if n_first > 4096:
         logging.info(
             "%s samples detected: switching to streaming row blocks "
