@@ -205,29 +205,47 @@ class SplitAlignment:
     length: int
     n_partial: int
     names: list
+    partial_pos: np.ndarray | None = None  # [n_partial] int64 gathered positions
 
     @property
     def n_seqs(self) -> int:
         return self.excl.shape[0]
 
 
-def split_alignment(packed: PackedAlignment) -> SplitAlignment:
-    """Build the SplitAlignment layout (host, once per alignment)."""
+def partial_site_positions(packed: PackedAlignment) -> np.ndarray:
+    """Positions (int64) where ANY sample holds a partial (2-/3-bit IUPAC)
+    code.  The partial-correction gram of a PAIR of alignments is only
+    meaningful when both sides are gathered at the SAME position set — use
+    the union of each side's positions (sites partial on one side only
+    contribute zero: the |S|>=2 channel products need >=2 bits on BOTH)."""
     p = packed.planes
     a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
     all4 = a & c & g & t
     ge2 = (a & c) | (a & g) | (a & t) | (c & g) | (c & t) | (g & t)
-    partial_words = (ge2 & ~all4).astype(np.uint32)
-    global_partial = np.bitwise_or.reduce(partial_words, axis=0)  # [W]
+    global_partial = np.bitwise_or.reduce((ge2 & ~all4).astype(np.uint32), axis=0)
+    bits = np.unpackbits(global_partial.view(np.uint8), bitorder="little")
+    return np.nonzero(bits[: packed.length])[0].astype(np.int64)
+
+
+def split_alignment(
+    packed: PackedAlignment, partial_sites: np.ndarray | None = None
+) -> SplitAlignment:
+    """Build the SplitAlignment layout (host, once per alignment).
+
+    ``partial_sites`` overrides the gathered partial-site positions — pass
+    the union of both alignments' positions when building the two sides of
+    a query-vs-db pair, so their correction grams share the gather axis."""
+    p = packed.planes
+    a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    all4 = a & c & g & t
 
     excl = (p & ~all4[:, None, :]).astype(np.uint32)
     cnt_n = popcount_words(all4).sum(axis=-1)
 
     # gather raw planes at partial sites (usually a tiny fraction)
-    bits = np.unpackbits(
-        global_partial.view(np.uint8), bitorder="little"
-    )[: packed.length]
-    idx = np.nonzero(bits)[0]
+    if partial_sites is None:
+        partial_sites = partial_site_positions(packed)
+    idx = np.asarray(partial_sites, dtype=np.int64)
     n_partial = len(idx)
     if n_partial:
         word = (idx >> 5).astype(np.int64)
@@ -248,7 +266,7 @@ def split_alignment(packed: PackedAlignment) -> SplitAlignment:
     return SplitAlignment(
         excl=excl, nmask=all4.astype(np.uint32), partial=partial,
         cnt_n=cnt_n, length=packed.length, n_partial=n_partial,
-        names=packed.names,
+        names=packed.names, partial_pos=idx,
     )
 
 

@@ -359,6 +359,17 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
         )
 
     if sa.n_partial or sb.n_partial:
+        if sb is not sa and not (
+            sa.partial_pos is None
+            or sb.partial_pos is None
+            or (sa.partial_pos is sb.partial_pos)
+            or np.array_equal(sa.partial_pos, sb.partial_pos)
+        ):
+            raise ValueError(
+                "SplitAlignments of a pair must share the partial-site "
+                "gather axis — build them with _split_pair(a, b) (or pass "
+                "the union positions to split_alignment)."
+            )
         wp = max(pa.shape[2], pb.shape[2])
         gp = _gram_partial(
             jnp.asarray(_pad_words(np.asarray(pa), wp)) if pa.shape[2] != wp else pa,
@@ -563,13 +574,34 @@ def _cached_split(packed: PackedAlignment):
     return split
 
 
+def _split_pair(a: PackedAlignment, b: PackedAlignment | None):
+    """(sa, sb) SplitAlignments for a comparison pair.
+
+    For a query-vs-db pair the partial-ambiguity tensors of BOTH sides are
+    gathered at the union of their partial positions, so the correction
+    gram's contraction axis lines up site-for-site (gathering each side at
+    its own positions silently multiplies unrelated sites).  Cached on ``a``
+    keyed by the partner's identity."""
+    from tracs_tpu.ops.packing import partial_site_positions, split_alignment
+
+    if b is None or b is a:
+        sa = _cached_split(a)
+        return sa, sa
+    cache = getattr(a, "_split_pair_cache", None)
+    if cache is not None and cache[0] == id(b):
+        return cache[1]
+    pos = np.union1d(partial_site_positions(a), partial_site_positions(b))
+    pair = (split_alignment(a, pos), split_alignment(b, pos))
+    a._split_pair_cache = (id(b), pair)
+    return pair
+
+
 def _select_method(a: PackedAlignment, b: PackedAlignment) -> str:
     """Pick the cheaper kernel by MAC count: the split decomposition costs
     ~5/site + 10/partial-site; the general inclusion-exclusion gram ~16/site.
     The split path wins unless partial-ambiguity codes cover >~90% of sites
     (the per-sample partial rate unions across samples)."""
-    sa = _cached_split(a)
-    sb = sa if b is a else _cached_split(b)
+    sa, sb = _split_pair(a, b)
     p = max(sa.n_partial, sb.n_partial)
     return "split" if (5 * a.length + 10 * p) < (16 * a.length) else "mxu"
 
@@ -626,8 +658,7 @@ def snp_distance_dense(
     if method == "split":
         from tracs_tpu.ops.packing import split_alignment
 
-        sa = _cached_split(a)
-        sb = sa if b is a else _cached_split(b)
+        sa, sb = _split_pair(a, b)
         D = np.empty((na, nb), dtype=np.int32)
         NN = np.empty((na, nb), dtype=np.int32)
         for r0 in range(0, na, row_block):
@@ -774,8 +805,7 @@ def pairsnp_stream(
     if method == "auto":
         method = _select_method(a_k, b_k)
     if method == "split":
-        sa = _cached_split(a_k)
-        sb = sa if b_k is a_k else _cached_split(b_k)
+        sa, sb = _split_pair(a_k, b_k)
 
     def _launch(r0: int, r1: int):
         """Enqueue one block's device work (sweep + survivor count) without
