@@ -74,7 +74,7 @@ def bench_tpu(n=1024, L=1_000_000, iters=3, snp_threshold=200):
 
     def sweep():
         D, _ = snp_distance_split_device(sa, with_nn=False)
-        return int(_count_survivors(D, snp_threshold, 0, triangle=True))
+        return int(_count_survivors(D, snp_threshold, 0, D.shape[1], triangle=True))
 
     sweep()  # upload + compile
     t0 = time.time()

@@ -68,3 +68,89 @@ def test_ring_with_compaction(rng):
     D1, NN1 = sharded_snp_distance(packed, make_mesh(4, 2), compact=True)
     assert np.array_equal(D0, D1)
     assert np.array_equal(NN0, NN1)
+
+
+# ---------------------------------------------------------------------------
+# production streaming path: pairsnp_stream / distance stage on a mesh
+# ---------------------------------------------------------------------------
+
+
+@requires_8dev
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4)])
+def test_stream_on_mesh_matches_single_device(rng, dp, sp):
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    seqs = _random_seqs(rng, 13, 401)
+    base = pairsnp([pack_sequences(seqs)], dist=120, row_block=5)
+    on_mesh = pairsnp(
+        [pack_sequences(seqs)], dist=120, row_block=5, mesh=make_mesh(dp, sp)
+    )
+    for x, y in zip(base, on_mesh):
+        assert list(x) == list(y)
+
+
+@requires_8dev
+def test_stream_on_mesh_rectangle(rng):
+    # 2-fasta query-vs-db block sweep on the mesh, incl. IUPAC partials
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    A = pack_sequences(_random_seqs(rng, 6, 300))
+    B = pack_sequences(_random_seqs(rng, 9, 300))
+    base = pairsnp([A, B], dist=10**9)
+    on_mesh = pairsnp([A, B], dist=10**9, mesh=make_mesh(4, 2), row_block=4)
+    for x, y in zip(base, on_mesh):
+        assert list(x) == list(y)
+
+
+@requires_8dev
+def test_stream_on_mesh_with_filter(rng):
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    seqs = _random_seqs(rng, 9, 500, chars="ACGT")
+    base = pairsnp([pack_sequences(seqs)], dist=10**9, filter=True)
+    on_mesh = pairsnp(
+        [pack_sequences(seqs)], dist=10**9, filter=True,
+        mesh=make_mesh(8, 1), row_block=3,
+    )
+    for x, y in zip(base, on_mesh):
+        assert list(x) == list(y)
+
+
+@requires_8dev
+def test_distance_stage_csv_identical_on_mesh(rng, tmp_path):
+    # the VERDICT 'done' criterion: the *stage* produces a byte-identical
+    # CSV on a dp x sp mesh vs single-device
+    import argparse
+    import gzip
+
+    from tracs_tpu.stages.distance import distance as distance_stage, distance_parser
+
+    seqs = _random_seqs(rng, 11, 257)
+    msa = tmp_path / "toy.fasta.gz"
+    with gzip.open(msa, "wt") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">s{i}\n{s}\n")
+    meta = tmp_path / "dates.csv"
+    with open(meta, "w") as fh:
+        fh.write("name,date\n")
+        for i in range(len(seqs)):
+            fh.write(f"s{i},2021-03-{(i % 27) + 1:02d}\n")
+
+    def run(mesh_spec, out):
+        parser = distance_parser(argparse.ArgumentParser())
+        args = parser.parse_args(
+            ["--msa", str(msa), "--meta", str(meta), "-o", str(out),
+             "--filter", "--mesh", mesh_spec, "--row-block", "4"]
+        )
+        distance_stage(args)
+        return out.read_text()
+
+    csv_mesh = run("4x2", tmp_path / "mesh.csv")
+    csv_single = run("off", tmp_path / "single.csv")
+    assert csv_mesh == csv_single
+    assert len(csv_mesh.splitlines()) == 1 + 11 * 10 // 2
+
+
+def _random_seqs(rng, n, L, chars="ACGTMRWSYKVHDBN"):
+    arr = np.array(list(chars))
+    return ["".join(rng.choice(arr, size=L)) for _ in range(n)]

@@ -346,13 +346,14 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
         m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask, as_device=True)
     else:
         same = sb is sa
+        rows = sa.n_seqs if same else sa.n_seqs + sb.n_seqs
         if chunk_sites is None:
-            rows = sa.n_seqs if same else sa.n_seqs + sb.n_seqs
-            chunk_sites = _auto_chunk_sites(rows, 5)
-        wc = max(8, min(chunk_sites // 32, Wpad))
-        if wc > 256:
-            wc = (wc // 256) * 256
-        n_chunks = math.ceil(Wpad / wc)
+            wc, n_chunks = plan_chunks(rows, 5, Wpad)
+        else:
+            wc = max(8, min(chunk_sites // 32, Wpad))
+            if wc > 256:
+                wc = (wc // 256) * 256
+            n_chunks = math.ceil(Wpad / wc)
 
         m, gn = _dense_split(
             ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, same=same,
@@ -395,18 +396,21 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
 
 
 @partial(jax.jit, static_argnames=("triangle",))
-def _count_survivors(D, dist, r0, *, triangle: bool):
+def _count_survivors(D, dist, r0, n_valid, *, triangle: bool):
+    """Number of entries with D <= dist, col < n_valid (pad-column guard
+    for mesh-padded blocks) and, when ``triangle``, global col > global row."""
+    na, nb = D.shape
     mask = D <= dist
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
+    mask &= cols_idx < n_valid
     if triangle:
-        na, nb = D.shape
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
-        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
         mask &= cols_idx > rows_idx
     return jnp.sum(mask, dtype=jnp.int64)
 
 
 @partial(jax.jit, static_argnames=("capacity", "triangle", "with_nn"))
-def _extract_coo(D, NN, dist, r0, *, capacity: int, triangle: bool, with_nn: bool = False):
+def _extract_coo(D, NN, dist, r0, n_valid, *, capacity: int, triangle: bool, with_nn: bool = False):
     """Device-side sparse COO extraction: flat row-major indices and values
     of entries with D <= dist (and j > global row when triangle), padded to
     a static capacity.  Row-major flat order == the reference's emission
@@ -415,9 +419,10 @@ def _extract_coo(D, NN, dist, r0, *, capacity: int, triangle: bool, with_nn: boo
     survivors never need a second gram pass or host popcounts."""
     na, nb = D.shape
     mask = D <= dist
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
+    mask &= cols_idx < n_valid
     if triangle:
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
-        cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
         mask &= cols_idx > rows_idx
     flat = mask.ravel()
     (idx,) = jnp.nonzero(flat, size=capacity, fill_value=na * nb)
@@ -427,26 +432,28 @@ def _extract_coo(D, NN, dist, r0, *, capacity: int, triangle: bool, with_nn: boo
     return idx, vals, nvals
 
 
-def _stream_block_sparse(D_dev, NN_dev, dist, r0, nb, count, *, triangle):
+def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle):
     """Threshold + compact one row block on device; download survivors only.
-    Returns (rows_local, cols, dvals, nvals) numpy arrays in row-major
-    order (``nvals`` is None when NN_dev is None)."""
+    ``n_valid`` bounds the true column count (mesh-padded blocks carry dead
+    pad columns beyond it).  Returns (rows_local, cols, dvals, nvals) numpy
+    arrays in row-major order (``nvals`` is None when NN_dev is None)."""
     if count == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy(), z.copy()
+    nb_pad = int(D_dev.shape[1])
     # bucket capacity to powers of two to bound recompiles
     capacity = 1 << max(12, int(math.ceil(math.log2(count))))
-    capacity = min(capacity, int(D_dev.shape[0]) * int(nb))
+    capacity = min(capacity, int(D_dev.shape[0]) * nb_pad)
     with_nn = NN_dev is not None
     idx, vals, nvals = _extract_coo(
         D_dev, NN_dev if with_nn else D_dev, dist, jnp.int32(r0),
-        capacity=capacity, triangle=triangle, with_nn=with_nn,
+        jnp.int32(n_valid), capacity=capacity, triangle=triangle, with_nn=with_nn,
     )
     idx = np.asarray(idx)[:count].astype(np.int64)
     dvals = np.asarray(vals)[:count].astype(np.int64)
     nn = np.asarray(nvals)[:count].astype(np.int64) if with_nn else None
-    rows_local = idx // nb
-    cols = idx % nb
+    rows_local = idx // nb_pad
+    cols = idx % nb_pad
     return rows_local, cols, dvals, nn
 
 
@@ -478,11 +485,7 @@ def comparable_sites_dense(sa, sb) -> np.ndarray:
         _, _, nb_mask, _ = _split_device(sb)
     # _gn_dense unpacks both operands (two distinct jit parameters, even for
     # a self-comparison — no CSE), so materialised rows = na + nb
-    chunk_sites = _auto_chunk_sites(sa.n_seqs + sb.n_seqs, 1)
-    wc = max(8, min(chunk_sites // 32, Wpad))
-    if wc > 256:
-        wc = (wc // 256) * 256
-    n_chunks = math.ceil(Wpad / wc)
+    wc, n_chunks = plan_chunks(sa.n_seqs + sb.n_seqs, 1, Wpad)
     gn = np.asarray(_gn_dense(na_mask, nb_mask, wc=wc, n_chunks=n_chunks))
     cnt = sa.cnt_n[:, None] + sb.cnt_n[None, :]
     return (sa.length - cnt + gn).astype(np.int32)
@@ -542,6 +545,18 @@ def _auto_chunk_sites(n: int, channels: int) -> int:
     accounting on 16 GB chips)."""
     sites = _CHUNK_BYTES_BUDGET // max(1, 2 * n * channels)
     return max(8 * 32, min(sites, 64 << 20))
+
+
+def plan_chunks(rows: int, channels: int, W: int) -> tuple[int, int]:
+    """(word-chunk size, chunk count) for a gram over W packed words whose
+    expanded int8 channels must fit the HBM budget (see _auto_chunk_sites).
+    Chunks stay lane-aligned: multiples of 256 words = 8192 sites (odd chunk
+    shapes trigger pathological XLA compiles on some backends)."""
+    chunk_sites = _auto_chunk_sites(rows, channels)
+    wc = max(8, min(chunk_sites // 32, W))
+    if wc > 256:
+        wc = (wc // 256) * 256
+    return wc, math.ceil(max(W, 1) / wc)
 
 
 def _pad_words(planes: np.ndarray, w_target: int) -> np.ndarray:
@@ -674,12 +689,10 @@ def snp_distance_dense(
 
     if method == "mxu":
         if chunk_sites is None:
-            chunk_sites = _auto_chunk_sites(max(na, nb), 16)
+            chunk_sites = _auto_chunk_sites(na + nb, 16)
         dev_b = _planes_device(b)
         dev_a_full = dev_b if b is a else _planes_device(a)
         Wpad = dev_b.shape[2]
-        # keep chunks lane-aligned (multiples of 256 words = 8192 sites);
-        # odd chunk shapes trigger pathological XLA compiles on some backends
         wc = max(8, min(chunk_sites // 32, Wpad))
         if wc > 256:
             wc = (wc // 256) * 256
@@ -753,6 +766,7 @@ def pairsnp_stream(
     row_block: int = 1024,
     start_row: int = 0,
     compact: bool | None = None,
+    mesh=None,
 ):
     """Streaming COO emission for large all-pairs runs.
 
@@ -762,6 +776,13 @@ def pairsnp_stream(
     caller persisting the last completed ``r1`` can resume an interrupted
     run from that row (the tile-cursor checkpoint story for week-long
     all-pairs sweeps).
+
+    ``mesh`` (a jax.sharding dp x sp Mesh) runs every block sweep across
+    the mesh: DB samples sharded over dp, packed words over sp, row blocks
+    replicated (parallel/allpairs.py::ShardedSweep).  Thresholding and COO
+    compaction still happen device-side; emission order and every value
+    are identical to the single-device run.  Ignored (with a log note) for
+    the non-split cross-check methods.
 
     ``compact`` (default on; ``TRACS_TPU_COMPACT=0`` disables) drops
     constant alignment columns before the O(n^2) kernels — bit-identical
@@ -804,8 +825,17 @@ def pairsnp_stream(
 
     if method == "auto":
         method = _select_method(a_k, b_k)
+    sweep = None
     if method == "split":
         sa, sb = _split_pair(a_k, b_k)
+        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            from tracs_tpu.parallel.allpairs import ShardedSweep
+
+            sweep = ShardedSweep(sa, sb, mesh)
+    elif mesh is not None:
+        import logging
+
+        logging.info("mesh ignored for cross-check method %r", method)
 
     def _launch(r0: int, r1: int):
         """Enqueue one block's device work (sweep + survivor count) without
@@ -816,10 +846,18 @@ def pairsnp_stream(
         free with the sweep (Gn by-product) and is kept on device; survivor
         entries are gathered from it alongside the COO extraction, so no
         second gram / host popcount pass is ever needed."""
-        sblk = sa if (r0 == 0 and r1 == a.n_seqs) else _slice_split_device(sa, r0, r1)
-        D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
-        cnt_dev = _count_survivors(D_dev, dist, jnp.int32(r0), triangle=triangle)
-        return sblk, D_dev, NN_dev, cnt_dev
+        if sweep is not None:
+            D_dev, NN_dev = sweep.launch(r0, r1)
+        else:
+            sblk = (
+                sa if (r0 == 0 and r1 == a.n_seqs)
+                else _slice_split_device(sa, r0, r1)
+            )
+            D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
+        cnt_dev = _count_survivors(
+            D_dev, dist, jnp.int32(r0), jnp.int32(b.n_seqs), triangle=triangle
+        )
+        return D_dev, NN_dev, cnt_dev
 
     spans = [
         (r0, min(a.n_seqs, r0 + row_block))
@@ -831,7 +869,7 @@ def pairsnp_stream(
         block_elems = (r1 - r0) * b.n_seqs
         nvals = None
         if method == "split":
-            sblk, D_dev, NN_dev, cnt_dev = pending
+            D_dev, NN_dev, cnt_dev = pending
             if k + 1 < len(spans):
                 pending = _launch(*spans[k + 1])
             NN = None
@@ -845,8 +883,9 @@ def pairsnp_stream(
                 rows = rows_l + r0
                 D = None
             else:
-                D = np.asarray(D_dev)
-                NN = np.asarray(NN_dev)
+                # mesh-padded blocks carry dead pad columns beyond b.n_seqs
+                D = np.asarray(D_dev)[:, : b.n_seqs]
+                NN = np.asarray(NN_dev)[:, : b.n_seqs]
         else:
             block = PackedAlignment(a_k.planes[r0:r1], a_k.length, a_k.names[r0:r1])
             D, NN = snp_distance_dense(block, b_k, method=method)
@@ -880,6 +919,7 @@ def pairsnp(
     method: str = "auto",
     row_block: int = 4096,
     compact: bool | None = None,
+    mesh=None,
 ):
     """Reference-compatible driver (C++ ``pairsnp``, src/pairsnp.hpp:320-458).
 
@@ -899,7 +939,7 @@ def pairsnp(
     names = None
     for _r0, _r1, names, rows, cols, dvals, filt, nvals in pairsnp_stream(
         fasta, dist=dist, filter=filter, method=method, row_block=row_block,
-        compact=compact,
+        compact=compact, mesh=mesh,
     ):
         all_rows += list(rows)
         all_cols += list(cols)

@@ -1,28 +1,48 @@
-"""Sharded all-pairs SNP distances: ring block-rotation over a device mesh.
+"""Sharded all-pairs SNP distances over a dp x sp device mesh.
 
-Layout: samples padded to dp*B and packed words padded to sp*Ws; the split-
-decomposition tensors (see ops/pairsnp.py: N-exclusive singleton planes,
-N masks, gathered partial-ambiguity planes) are sharded P('dp', ..., 'sp')
-so each device holds one sample block on one position shard.
+Two production paths, both built on the two-gram split-decomposition kernel
+(ops/pairsnp.py::_dense_split — the fast path measured 6x quicker than the
+signed 5-channel matmul) with the same word-chunk HBM budgeting as the
+single-device sweep:
 
-Ring schedule (the TPU-native replacement for the reference's OpenMP row
-loop, src/pairsnp.hpp:380-432): every step each dp-rank computes the
-5-channel signed gram (+ partial correction + N gram) of its resident block
-against a travelling block, then passes the travelling block to its ring
-neighbour with ``ppermute``; after P steps every pair of blocks has met
-exactly once on every position shard.  Per-pair grams are commutative sums
-over positions, so the sp axis reduces with a single ``psum`` at the end;
-the recombination filter's windowed statistics are the only non-commutative
-part of the pipeline and run in the dedicated filter pass (ops/recomb.py),
-not here.
+1. **ShardedSweep** — the streaming engine behind ``tracs-tpu distance``
+   on a mesh (the TPU-native replacement for the reference's OpenMP row
+   loop, src/pairsnp.hpp:380-432).  DB samples are sharded over ``dp``
+   (each device owns the *columns* of every block matrix for its sample
+   shard) and packed words over ``sp``; each row block is replicated over
+   dp, so a block sweep needs NO communication beyond the row-block
+   broadcast and the final psum over sp — every D entry is computed by
+   exactly one (dp) device with the single-device kernel, which is what
+   makes the streamed CSV byte-identical to the one-chip run regardless of
+   mesh shape.  Device-side thresholding/COO compaction then runs on the
+   dp-sharded block (ops/pairsnp.py::_extract_coo) so only survivors cross
+   the host link.
 
-Determinism: output is assembled by block origin index, so the result is
-bit-identical to the single-device kernel regardless of mesh shape (verified
-in tests/test_sharded.py on a forced 8-device CPU mesh).
+2. **sharded_snp_distance** — dense [n, n] output via a triangle ring
+   schedule: every device holds one resident sample block; a travelling
+   copy rotates around the dp ring (``ppermute``) for ``n_dp//2 + 1``
+   steps (half of the naive n_dp — symmetry: after computing block pair
+   (r, r-s) each device returns the transposed block to rank r-s, one
+   [B, B] int32 ppermute, ~1000x smaller than rotating the operands).
+   Per-pair grams are commutative sums over positions, so the sp axis
+   reduces with a single ``psum`` at the end.
+
+Determinism: outputs are assembled by block origin index and every entry
+is an exact int32 sum, so results are bit-identical to the single-device
+kernel for any mesh shape (tests/test_sharded.py, forced 8-device CPU
+mesh).  The recombination filter's windowed statistics are the only
+non-commutative part of the pipeline and run in the dedicated filter pass
+(ops/recomb.py) on host-gathered survivor bitsets, not here.
+
+Multi-host: the same code over a mesh spanning processes
+(jax.distributed.initialize via parallel/multihost.py); ``_put`` switches
+to make_array_from_callback so each host materialises only its addressable
+shards.  dp traffic rides DCN across hosts, sp stays on ICI.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,41 +50,183 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-import os
-
 from tracs_tpu.ops.packing import PackedAlignment, compact_variant_columns
-from tracs_tpu.ops.pairsnp import _cached_split, _gram_partial, _gram_split_chunk, _unpack_bits
+from tracs_tpu.ops.pairsnp import (
+    _assemble_d,
+    _assemble_nn,
+    _dense_split,
+    _gram_partial,
+    _split_pair,
+    plan_chunks,
+)
 from tracs_tpu.parallel.mesh import make_mesh, pad_to
 
 
-def _ring_allpairs_local(excl, nmask, part, n_dp: int):
+def _put(arr: np.ndarray, sharding: NamedSharding):
+    """Host numpy -> sharded device array.  Multi-host safe: with >1
+    process, device_put cannot address remote shards, so each process
+    materialises its own via make_array_from_callback (every host holds
+    the full host-side alignment — they all read the same FASTA)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(arr, sharding)
+
+
+def _pad_rows_words(arr: np.ndarray, n_pad: int, w_pad: int) -> np.ndarray:
+    """Zero-pad the sample axis to n_pad and the (last) word axis to w_pad."""
+    shape = (n_pad, *arr.shape[1:-1], w_pad)
+    out = np.zeros(shape, dtype=arr.dtype)
+    out[: arr.shape[0], ..., : arr.shape[-1]] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# production streaming path: replicated row block x dp-sharded DB columns
+# ---------------------------------------------------------------------------
+
+
+def _block_sweep_local(excl_r, nm_r, pt_r, excl_d, nm_d, pt_d, *, wc, n_chunks):
+    """shard_map body: row block (replicated over dp, word-sharded over sp)
+    against this device's DB sample shard.  Returns this shard's columns of
+    the match-gram and N-gram, summed over position shards."""
+    m, gn = _dense_split(excl_r, nm_r, excl_d, nm_d, wc=wc, n_chunks=n_chunks)
+    m = m + _gram_partial(pt_r, pt_d)
+    m = jax.lax.psum(m, "sp")
+    gn = jax.lax.psum(gn, "sp")
+    return m, gn
+
+
+@partial(jax.jit, static_argnames=("wc", "n_chunks", "mesh"))
+def _block_sweep(excl_r, nm_r, pt_r, excl_d, nm_d, pt_d, *, wc, n_chunks, mesh):
+    fn = jax.shard_map(
+        partial(_block_sweep_local, wc=wc, n_chunks=n_chunks),
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "sp"),
+            P(None, "sp"),
+            P(None, None, "sp"),
+            P("dp", None, "sp"),
+            P("dp", "sp"),
+            P("dp", None, "sp"),
+        ),
+        out_specs=(P(None, "dp"), P(None, "dp")),
+    )
+    return fn(excl_r, nm_r, pt_r, excl_d, nm_d, pt_d)
+
+
+class ShardedSweep:
+    """Mesh-resident query-vs-db block sweep — the multi-chip engine behind
+    ``pairsnp_stream(..., mesh=...)``.
+
+    ``sa``/``sb`` are SplitAlignments sharing the partial-site gather axis
+    (build with ops.pairsnp._split_pair).  The DB side is uploaded once and
+    stays sharded P('dp', None, 'sp'); ``launch`` replicates one row block
+    and returns device (D, NN) int32 blocks of shape [rb, n_pad] — columns
+    beyond ``sb.n_seqs`` are mesh padding and must be masked by the caller
+    (ops/pairsnp.py passes n_valid to the count/extract kernels).
+    """
+
+    def __init__(self, sa, sb, mesh: Mesh):
+        if sa.length != sb.length:
+            raise ValueError("alignments must share sequence length")
+        self.mesh = mesh
+        self.sa, self.sb = sa, sb
+        self.n_dp = int(mesh.shape["dp"])
+        self.n_sp = int(mesh.shape["sp"])
+        n = sb.n_seqs
+        self.n_pad = pad_to(max(n, 1), self.n_dp)
+        W = sb.excl.shape[2]
+        self.w_pad = pad_to(max(W, 1), 8 * self.n_sp)
+        wp = max(sa.partial.shape[2], sb.partial.shape[2])
+        self.wp_pad = pad_to(max(wp, 1), self.n_sp)
+
+        db3 = NamedSharding(mesh, P("dp", None, "sp"))
+        db2 = NamedSharding(mesh, P("dp", "sp"))
+        self._db = (
+            _put(_pad_rows_words(sb.excl, self.n_pad, self.w_pad), db3),
+            _put(_pad_rows_words(sb.nmask, self.n_pad, self.w_pad), db2),
+            _put(_pad_rows_words(sb.partial, self.n_pad, self.wp_pad), db3),
+        )
+        cnt = np.zeros(self.n_pad, np.int32)
+        cnt[:n] = sb.cnt_n
+        self._cnt_d = _put(cnt, NamedSharding(mesh, P()))
+        self._row3 = NamedSharding(mesh, P(None, None, "sp"))
+        self._row2 = NamedSharding(mesh, P(None, "sp"))
+        self._rep = NamedSharding(mesh, P())
+
+    def launch(self, r0: int, r1: int):
+        """Enqueue the sweep of rows [r0, r1) against the whole DB shard set;
+        returns device (D [rb, n_pad], NN [rb, n_pad]) without waiting."""
+        sa = self.sa
+        rb = r1 - r0
+        ex = _put(_pad_rows_words(sa.excl[r0:r1], rb, self.w_pad), self._row3)
+        nm = _put(_pad_rows_words(sa.nmask[r0:r1], rb, self.w_pad), self._row2)
+        pt = _put(_pad_rows_words(sa.partial[r0:r1], rb, self.wp_pad), self._row3)
+        cnt_r = _put(sa.cnt_n[r0:r1].astype(np.int32), self._rep)
+        # HBM budget rows per device: the replicated row block + this dp
+        # rank's DB shard, 5 channels each (4 exclusive + N mask)
+        rows = rb + self.n_pad // self.n_dp
+        wc, n_chunks = plan_chunks(rows, 5, self.w_pad // self.n_sp)
+        m, gn = _block_sweep(
+            ex, nm, pt, *self._db, wc=wc, n_chunks=n_chunks, mesh=self.mesh
+        )
+        L32 = jnp.int32(sa.length)
+        gp0 = jnp.zeros((), jnp.int32)  # partial gram already folded into m
+        D = _assemble_d(m, gp0, cnt_r, self._cnt_d, L32)
+        NN = _assemble_nn(gn, cnt_r, self._cnt_d, L32)
+        return D, NN
+
+
+# ---------------------------------------------------------------------------
+# dense path: triangle ring over resident sample blocks
+# ---------------------------------------------------------------------------
+
+
+def _ring_allpairs_local(excl, nmask, part, *, n_dp: int, wc: int, n_chunks: int):
     """shard_map body: per-(dp, sp) shard tensors
     excl [B, 4, Ws], nmask [B, Ws], part [B, 4, Wp].
     Returns (match-gram rows [B, n_dp*B], N-gram rows), psum'd over sp.
+
+    Triangle schedule: step s computes block pair (my, my-s).  Each
+    unordered pair of blocks meets once in n_dp//2 + 1 steps; the
+    transposed result is returned to the partner rank (a [B, B] int32
+    ppermute — tiny next to rotating the packed operands), halving both
+    ring rotations and gram work vs the naive every-ordered-pair sweep.
+    Step 0 is the self block and uses _dense_split's unpack-once
+    ``same=True`` fast path.
     """
     B = excl.shape[0]
-    my_dp = jax.lax.axis_index("dp")
-
+    my = jax.lax.axis_index("dp")
     m_rows = jnp.zeros((B, n_dp * B), jnp.int32)
     n_rows = jnp.zeros((B, n_dp * B), jnp.int32)
-
+    half = n_dp // 2
     trav = (excl, nmask, part)
-    for step in range(n_dp):
+    zero = jnp.int32(0)
+    for step in range(half + 1):
         t_excl, t_nmask, t_part = trav
-        m = _gram_split_chunk(excl, nmask, t_excl, t_nmask)
-        m = m + _gram_partial(part, t_part)
-        an = _unpack_bits(nmask)
-        bn = _unpack_bits(t_nmask)
-        gn = jax.lax.dot_general(
-            an, bn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        m, gn = _dense_split(
+            excl, nmask, t_excl, t_nmask,
+            wc=wc, n_chunks=n_chunks, same=(step == 0),
         )
-        origin = (my_dp - step) % n_dp
-        col0 = (origin * B).astype(jnp.int32)
-        zero = jnp.int32(0)
-        m_rows = jax.lax.dynamic_update_slice(m_rows, m, (zero, col0))
-        n_rows = jax.lax.dynamic_update_slice(n_rows, gn, (zero, col0))
-        if step + 1 < n_dp:
-            # rotate the travelling block one rank forward around the dp ring
+        m = m + _gram_partial(part, t_part)
+        origin = ((my - step) % n_dp).astype(jnp.int32)
+        m_rows = jax.lax.dynamic_update_slice(m_rows, m, (zero, origin * B))
+        n_rows = jax.lax.dynamic_update_slice(n_rows, gn, (zero, origin * B))
+        # mirror the block to its transpose position: pair (my, my-s)
+        # computed here is pair (my-s, my) on rank my-s.  For even n_dp the
+        # final step's partner column coincides with the own store
+        # ((my-half) == (my+half) mod n_dp), so the mirror is skipped.
+        if step > 0 and (n_dp % 2 == 1 or step < half):
+            perm_back = [(r, (r - step) % n_dp) for r in range(n_dp)]
+            m_t = jax.lax.ppermute(m.T, "dp", perm_back)
+            gn_t = jax.lax.ppermute(gn.T, "dp", perm_back)
+            src = ((my + step) % n_dp).astype(jnp.int32)
+            m_rows = jax.lax.dynamic_update_slice(m_rows, m_t, (zero, src * B))
+            n_rows = jax.lax.dynamic_update_slice(n_rows, gn_t, (zero, src * B))
+        if step < half:
+            # rotate the travelling block one rank forward around the ring
             perm = [(r, (r + 1) % n_dp) for r in range(n_dp)]
             trav = tuple(jax.lax.ppermute(t, "dp", perm) for t in trav)
 
@@ -74,10 +236,10 @@ def _ring_allpairs_local(excl, nmask, part, n_dp: int):
     return m_rows, n_rows
 
 
-@partial(jax.jit, static_argnames=("n_dp", "mesh"))
-def _ring_allpairs(excl, nmask, part, *, n_dp: int, mesh: Mesh):
+@partial(jax.jit, static_argnames=("n_dp", "wc", "n_chunks", "mesh"))
+def _ring_allpairs(excl, nmask, part, *, n_dp: int, wc: int, n_chunks: int, mesh: Mesh):
     fn = jax.shard_map(
-        partial(_ring_allpairs_local, n_dp=n_dp),
+        partial(_ring_allpairs_local, n_dp=n_dp, wc=wc, n_chunks=n_chunks),
         mesh=mesh,
         in_specs=(P("dp", None, "sp"), P("dp", "sp"), P("dp", None, "sp")),
         out_specs=(P("dp", None), P("dp", None)),
@@ -94,7 +256,8 @@ def sharded_snp_distance(
     """All-pairs (D, NN) int32 matrices computed over a dp x sp device mesh
     with the split-decomposition kernel.  Matches ``snp_distance_dense``
     bit-for-bit; use for sample counts / genome lengths that exceed a
-    single device.
+    single device.  (For threshold/COO streaming use
+    ``pairsnp_stream(..., mesh=...)`` — this returns the full dense matrix.)
 
     ``compact`` (default on; ``TRACS_TPU_COMPACT=0`` disables) applies
     variant-site compaction before sharding — the distance matrix is exactly
@@ -102,8 +265,8 @@ def sharded_snp_distance(
     position axis and ring traffic shrink by the conserved fraction."""
     if mesh is None:
         mesh = make_mesh(len(jax.devices()), 1)
-    n_dp = mesh.shape["dp"]
-    n_sp = mesh.shape["sp"]
+    n_dp = int(mesh.shape["dp"])
+    n_sp = int(mesh.shape["sp"])
 
     if compact is None:
         compact = os.environ.get("TRACS_TPU_COMPACT", "1") != "0"
@@ -114,27 +277,28 @@ def sharded_snp_distance(
             packed = comp[0]
             nn_off = comp[3]
 
-    sa = _cached_split(packed)
+    sa, _ = _split_pair(packed, None)
     n = sa.n_seqs
     W = sa.excl.shape[2]
     Wp = sa.partial.shape[2]
     L = sa.length
     B = pad_to(max(n, 1), n_dp) // n_dp
-    Ws = pad_to(max(W, 1), n_sp) // n_sp
-    Wps = pad_to(max(Wp, 1), n_sp) // n_sp
+    w_pad = pad_to(max(W, 1), 8 * n_sp)
+    wp_pad = pad_to(max(Wp, 1), n_sp)
 
-    excl = np.zeros((n_dp * B, 4, n_sp * Ws), dtype=np.uint32)
-    excl[:n, :, :W] = sa.excl
-    nmask = np.zeros((n_dp * B, n_sp * Ws), dtype=np.uint32)
-    nmask[:n, :W] = sa.nmask
-    part = np.zeros((n_dp * B, 4, n_sp * Wps), dtype=np.uint32)
-    part[:n, :, :Wp] = sa.partial
+    excl = _pad_rows_words(sa.excl, n_dp * B, w_pad)
+    nmask = _pad_rows_words(sa.nmask, n_dp * B, w_pad)
+    part = _pad_rows_words(sa.partial, n_dp * B, wp_pad)
 
-    ex_dev = jax.device_put(jnp.asarray(excl), NamedSharding(mesh, P("dp", None, "sp")))
-    nm_dev = jax.device_put(jnp.asarray(nmask), NamedSharding(mesh, P("dp", "sp")))
-    pt_dev = jax.device_put(jnp.asarray(part), NamedSharding(mesh, P("dp", None, "sp")))
+    ex_dev = _put(excl, NamedSharding(mesh, P("dp", None, "sp")))
+    nm_dev = _put(nmask, NamedSharding(mesh, P("dp", "sp")))
+    pt_dev = _put(part, NamedSharding(mesh, P("dp", None, "sp")))
 
-    m, gn = _ring_allpairs(ex_dev, nm_dev, pt_dev, n_dp=n_dp, mesh=mesh)
+    # HBM budget rows: resident + travelling block, 5 channels each
+    wc, n_chunks = plan_chunks(2 * B, 5, w_pad // n_sp)
+    m, gn = _ring_allpairs(
+        ex_dev, nm_dev, pt_dev, n_dp=n_dp, wc=wc, n_chunks=n_chunks, mesh=mesh
+    )
     m = np.asarray(m)[:n, :n]
     gn = np.asarray(gn)[:n, :n]
 

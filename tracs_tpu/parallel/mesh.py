@@ -53,3 +53,35 @@ def make_mesh(dp: int, sp: int = 1, devices=None) -> Mesh:
 
 def pad_to(x: int, mult: int) -> int:
     return int(math.ceil(x / mult) * mult)
+
+
+def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
+    """Resolve a ``--mesh`` CLI / TRACS_TPU_MESH spec to a device mesh.
+
+    * ``"auto"`` (or None): all visible devices, dp-major
+      (``best_mesh_shape``); returns None on a single device so callers
+      keep the plain single-chip path.
+    * ``"off"``: force single-device.
+    * ``"DPxSP"`` (e.g. ``"4x2"``): explicit shape.
+    """
+    import os
+
+    if spec is None:
+        spec = os.environ.get("TRACS_TPU_MESH", "auto")
+    spec = spec.strip().lower()
+    if spec == "off":
+        return None
+    if spec == "auto":
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        return make_mesh(*best_mesh_shape(n))
+    try:
+        dp, sp = (int(t) for t in spec.split("x"))
+    except ValueError:
+        raise ValueError(
+            f"invalid mesh spec {spec!r}: expected 'auto', 'off' or 'DPxSP'"
+        ) from None
+    if dp * sp <= 1:
+        return None
+    return make_mesh(dp, sp)

@@ -104,6 +104,14 @@ def distance_parser(parser):
         help="Resume an interrupted --row-block run from the cursor file "
              "written next to the output.",
     )
+    scale.add_argument(
+        "--mesh", dest="mesh", type=str, default=None,
+        help="Device mesh for the all-pairs sweep: 'auto' (default: all "
+             "visible TPU chips, data-parallel over DB sample shards), "
+             "'off' (single device), or an explicit 'DPxSP' shape, e.g. "
+             "'4x2' = 4 sample shards x 2 genome-position shards. Output "
+             "is identical for every shape. Env: TRACS_TPU_MESH.",
+    )
 
     parser.add_argument(
         "-t", "--threads", dest="n_cpu",
@@ -127,6 +135,19 @@ def distance(args):
             for line in infile:
                 line = line.strip().split(",")
                 dates[line[0]] = (line[1], date.fromisoformat(line[1]))
+
+    # multi-chip: resolve the mesh once; any >1-device mesh routes through
+    # the streaming driver (row blocks are how the sharded sweep is fed)
+    from tracs_tpu.parallel.mesh import resolve_mesh
+
+    args.resolved_mesh = resolve_mesh(getattr(args, "mesh", None))
+    if args.resolved_mesh is not None:
+        logging.info(
+            "Running on a %s device mesh",
+            dict(args.resolved_mesh.shape),
+        )
+        if not getattr(args, "row_block", None):
+            args.row_block = 1024
 
     if getattr(args, "row_block", None):
         return _distance_streaming(args, dates)
@@ -272,7 +293,7 @@ def _distance_streaming(args, dates):
     cursor_path = args.output_file + ".cursor"
     cursor = {"msa_index": 0, "next_row": 0}
     mode = "w"
-    if args.resume and os.path.exists(cursor_path):
+    if getattr(args, "resume", False) and os.path.exists(cursor_path):
         with open(cursor_path) as fh:
             cursor = json.load(fh)
         mode = "a"
@@ -320,6 +341,7 @@ def _distance_streaming(args, dates):
             for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
                 msas, dist=args.snp_threshold, filter=args.recomb_filter,
                 row_block=args.row_block, start_row=start_row,
+                mesh=getattr(args, "resolved_mesh", None),
             ):
                 with phase("block rows [%d,%d): %d pairs" % (r0, r1, len(rows))):
                     if dates is not None and len(rows):
