@@ -68,6 +68,7 @@ def main():
     print(f"# dense 1 device: {rate1:,.0f} pairs/s", file=sys.stderr)
 
     nd = len(devices)
+    on_cpu = devices[0].platform == "cpu"
     shapes = sorted({(nd // s, s) for s in range(1, nd + 1) if nd % s == 0})
     for dp, sp in shapes:
         mesh = make_mesh(dp, sp)
@@ -76,14 +77,24 @@ def main():
         for _ in range(args.iters):
             sharded_snp_distance(packed, mesh)
         rate = args.n * args.n / ((time.time() - t0) / args.iters)
-        eff = rate / (rate1 * nd)
         results[f"{dp}x{sp}"] = rate
+        if on_cpu:
+            # virtual CPU devices share the host cores, so linear speedup is
+            # physically impossible — the meaningful number is WORK
+            # efficiency (sharded wall-clock vs single-device for the same
+            # total job): 100% means the mesh schedule adds no overhead.
+            eff = rate / rate1
+            label = "work efficiency (shared-core CPU mesh)"
+        else:
+            eff = rate / (rate1 * nd)
+            label = "of linear"
         print(
             f"# ring dp={dp} sp={sp}: {rate:,.0f} pairs/s "
-            f"({100*eff:.0f}% of linear)", file=sys.stderr,
+            f"({100*eff:.0f}% {label})", file=sys.stderr,
         )
 
-    print(json.dumps({"n": args.n, "L": args.L, "pairs_per_s": results}))
+    print(json.dumps({"n": args.n, "L": args.L, "cpu_mesh": on_cpu,
+                      "pairs_per_s": results}))
 
 
 if __name__ == "__main__":

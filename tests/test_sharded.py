@@ -154,3 +154,46 @@ def test_distance_stage_csv_identical_on_mesh(rng, tmp_path):
 def _random_seqs(rng, n, L, chars="ACGTMRWSYKVHDBN"):
     arr = np.array(list(chars))
     return ["".join(rng.choice(arr, size=L)) for _ in range(n)]
+
+
+@requires_8dev
+def test_ring_and_stream_with_forced_chunking(rng, monkeypatch):
+    # a tiny HBM budget forces n_chunks > 1 inside every shard_map body —
+    # the word-chunk loop (optimization_barrier serialisation) must not
+    # change any value.  This is the memory-bounded big-shape sweep check
+    # scaled down: the same planner (plan_chunks) bounds the north-star
+    # 1250-sample x 1 Mb per-device blocks.
+    import tracs_tpu.ops.pairsnp as pp
+    from tracs_tpu.ops.pairsnp import pairsnp, plan_chunks
+
+    seqs = _random_seqs(rng, 13, 4001)
+    D0, NN0 = snp_distance_dense(pack_sequences(seqs))
+    monkeypatch.setattr(pp, "_CHUNK_BYTES_BUDGET", 1 << 12)
+    wc, n_chunks = plan_chunks(26, 5, (4001 + 31) // 32)
+    assert n_chunks > 1  # the budget really does force chunking
+    D1, NN1 = sharded_snp_distance(pack_sequences(seqs), make_mesh(4, 2))
+    assert np.array_equal(D0, D1) and np.array_equal(NN0, NN1)
+
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    base = pairsnp([pack_sequences(seqs)], dist=3000, row_block=5)
+    on_mesh = pairsnp(
+        [pack_sequences(seqs)], dist=3000, row_block=5, mesh=make_mesh(2, 4)
+    )
+    for x, y in zip(base, on_mesh):
+        assert list(x) == list(y)
+
+
+def test_plan_chunks_budget_accounting():
+    # north-star shape: 10k samples over 8 dp ranks -> 1250-row blocks vs
+    # 1250-row DB shards, 1 Mb genomes.  The planned chunk's materialised
+    # int8 channels (2 bytes/site/channel/row) must fit the budget.
+    from tracs_tpu.ops.pairsnp import _CHUNK_BYTES_BUDGET, plan_chunks
+
+    rows, channels = 2 * 1250, 5
+    W = (1_000_000 + 31) // 32
+    wc, n_chunks = plan_chunks(rows, channels, W)
+    assert wc * 32 * rows * channels * 2 <= _CHUNK_BYTES_BUDGET
+    assert n_chunks == -(-W // wc)
+    # and chunks stay lane-aligned
+    assert wc % 256 == 0 or wc == W or wc <= 256
