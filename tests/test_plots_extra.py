@@ -37,16 +37,16 @@ def test_plot_scatter_and_line(tmp_path, rng):
     assert os.path.exists(out_l + ".png")
 
 
-def test_combine_calculate_coverage(tmp_path):
-    from tracs_tpu.stages.combine import calculate_coverage, sum_after_semicolon
+def test_combine_pileup_coverage(tmp_path):
+    # the --coverage opt-in (the working replacement for the reference's
+    # dead calculate_coverage helper, reference combine.py:84-103): depth
+    # per line sums everything after the first two count-column numbers
+    from tracs_tpu.stages.combine import pileup_coverage
 
-    # reference semantics (combine.py:77-81): the [2:] slice drops the
-    # marker AND the first forward count — reproduced faithfully
-    assert sum_after_semicolon("chr1\t5\tA\t.\tA\t2:3:4\n") == 4
     d = tmp_path / "s1"
     d.mkdir()
     pile = str(d / "s1_ref_REFX_pileup.txt.gz")
-    write_pileup(pile, list("ACGT"), depth=5)
-    sample, ref, cov, depth = calculate_coverage(pile)
-    assert (sample, ref) == ("s1", "REFX")
-    assert cov == 4 and depth == 20
+    write_pileup(pile, list("ACGT"), depth=5)  # per line: 2:5:5 -> depth 5
+    covered, mean_depth, mean_nonzero = pileup_coverage(pile)
+    assert covered == 4
+    assert mean_depth == 5.0 and mean_nonzero == 5.0

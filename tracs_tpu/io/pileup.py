@@ -69,6 +69,31 @@ def parse_pileup(path, contig_lengths: dict[str, int], require_both_strands: boo
     return counts
 
 
+def scan_pileup_depth(path):
+    """Per-covered-line total allele depth from a pileup file, as an int64
+    array (one entry per pileup line).  The htsbox count column lists two
+    quality summaries followed by per-allele per-strand counts; total depth
+    is the sum of everything after the first two numbers.  Truncated gzip
+    files yield the depths read so far (None if nothing was readable)."""
+    depths = []
+    try:
+        with _open_text(path) as fh:
+            for line in fh:
+                parts = line.rsplit(None, 2)
+                if len(parts) < 3:
+                    continue
+                nums = parts[-1].replace(":", ",").split(",")
+                try:
+                    depths.append(sum(int(x) for x in nums[2:]))
+                except ValueError:
+                    continue
+    except EOFError:
+        logging.warning("truncated pileup %s: %d lines read", path, len(depths))
+    if not depths:
+        return None
+    return np.asarray(depths, dtype=np.int64)
+
+
 def _parse_native(path, contig_lengths, total, require_both_strands):
     from tracs_tpu.runtime.native import get_lib
 

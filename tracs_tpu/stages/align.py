@@ -137,7 +137,10 @@ def align_parser(parser):
     return parser
 
 
-def download_ref(ref, outputdir):
+def fetch_genbank_assembly(accession: str, outdir: str) -> str:
+    """Download one assembly by accession into ``outdir`` and return the
+    fasta path.  Tries the Genbank section first, then RefSeq (reference
+    align.py:209-234).  Gated: the downloader package is optional here."""
     try:
         import ncbi_genome_download as ngd
     except ImportError as e:
@@ -147,26 +150,30 @@ def download_ref(ref, outputdir):
             "environment. Build a database zip with 'build-db' or pass "
             "--refseqs with a local genome folder instead."
         ) from e
-    r = ngd.download(
-        groups="bacteria", section="genbank", file_formats="fasta",
-        flat_output=True, output=outputdir, assembly_accessions=ref,
-    )
-    if r != 0:
-        r = ngd.download(
-            groups="bacteria", section="refseq", file_formats="fasta",
-            flat_output=True, output=outputdir, assembly_accessions=ref,
+    for section in ("genbank", "refseq"):
+        status = ngd.download(
+            groups="bacteria", section=section, file_formats="fasta",
+            flat_output=True, output=outdir, assembly_accessions=accession,
         )
-    if r != 0:
-        raise ValueError("Could not download reference for: ", ref)
-    return glob.glob(outputdir + "*fna.gz")[0]
+        if status == 0:
+            return glob.glob(os.path.join(outdir, "*fna.gz"))[0]
+    raise ValueError("Could not download reference for: ", accession)
 
 
-def find_fasta(root_dir, prefix):
-    """GTDB-style folder lookup (reference align.py:236-252)."""
-    converted = f"/{prefix[:3]}/{prefix[4:7]}/{prefix[7:10]}/{prefix[10:13]}/"
-    for file in glob.glob(root_dir + converted + "*.fna.gz"):
-        return str(file)
-    raise ValueError("Could not find reference for: ", prefix)
+def gtdb_fasta_path(root_dir: str, accession: str) -> str:
+    """Resolve an accession inside a GTDB-style genome folder, which nests
+    genomes by accession segments (GCA_000123456 ->
+    GCA/000/123/456/*.fna.gz; reference align.py:236-252)."""
+    segments = (accession[:3], accession[4:7], accession[7:10], accession[10:13])
+    nested = os.path.join(root_dir, *segments)
+    for path in glob.glob(os.path.join(nested, "*.fna.gz")):
+        return path
+    raise ValueError("Could not find reference for: ", accession)
+
+
+# keep the reference's public helper names importable
+download_ref = fetch_genbank_assembly
+find_fasta = gtdb_fasta_path
 
 
 def nibble_sequence(mask01: np.ndarray) -> str:
@@ -181,115 +188,127 @@ def nibble_sequence(mask01: np.ndarray) -> str:
     return IUPAC_BY_NIBBLE[nib].tobytes().decode("utf-8")
 
 
+def _gather_reference_names(args, temp_dir: str) -> list[str]:
+    """Run reference selection (gather) against the database and return the
+    selected names.  Prefers the native FracMinHash gather whenever the db
+    zip carries no SBT, or carries native sketches and sourmash is absent;
+    otherwise shells out to sourmash gather against the (possibly embedded)
+    SBT index."""
+    from tracs_tpu.sketch import load_db_sketches, native_gather
+
+    is_bare_sbt = ".sbt.zip" in args.database
+    if not is_bare_sbt:
+        with ZipFile(args.database) as archive:
+            has_sbt = "sourmashDB.sbt.zip" in archive.namelist()
+        sourmash_available = shutil.which("sourmash") is not None
+        if not has_sbt or (not sourmash_available and load_db_sketches(args.database)):
+            logging.info("Selecting references with the native FracMinHash gather")
+            return native_gather(
+                args.input_files,
+                args.database,
+                args.output_dir + args.prefix + "_sourmash_hits.csv",
+            )
+
+    if is_bare_sbt:
+        sbt = args.database
+    else:
+        with ZipFile(args.database) as archive:
+            archive.extract("sourmashDB.sbt.zip", temp_dir)
+        sbt = temp_dir + "sourmashDB.sbt.zip"
+    return run_gather(
+        input_files=args.input_files,
+        databasefile=sbt,
+        output=args.output_dir + args.prefix + "_sourmash_hits",
+        temp_dir=temp_dir,
+    )
+
+
+def _locate_accession(args, accession: str) -> str:
+    """Fasta path for one selected accession when the database zip carries
+    no genomes (bare SBT): a GTDB-style --refseqs folder if given, else a
+    cached-or-fresh Genbank download under genbank_references/."""
+    if args.refseqs is not None:
+        return gtdb_fasta_path(args.refseqs, accession)
+    cache_dir = args.output_dir + "genbank_references/" + accession + "/"
+    if os.path.exists(cache_dir):
+        logging.info("Reference already downloaded: %s", accession)
+        return glob.glob(cache_dir + "*.fna.gz")[0]
+    os.makedirs(cache_dir)
+    return fetch_genbank_assembly(accession, cache_dir)
+
+
+def select_references(args, temp_dir: str) -> dict[str, str]:
+    """{reference name: fasta path} from whichever source the CLI gave:
+
+    * ``--refseqs <fasta>`` with no database — that one genome;
+    * a build-db zip — gather (native or sourmash), genomes extracted
+      straight from the zip;
+    * a bare ``.sbt.zip`` — sourmash gather, genomes resolved from a GTDB
+      folder or downloaded from Genbank (reference align.py:264-388).
+    """
+    if args.database is None:
+        name = os.path.splitext(os.path.basename(args.refseqs))[0]
+        return {name: args.refseqs}
+
+    selected = _gather_reference_names(args, temp_dir)
+
+    if ".sbt.zip" in args.database:
+        logging.warning(
+            "No references provided. tracs_tpu will attempt to locate or "
+            "download references"
+        )
+        accessions = [name.split()[0].strip('"') for name in selected]
+        logging.debug("%s", accessions)
+        return {acc: _locate_accession(args, acc) for acc in accessions}
+
+    with ZipFile(args.database) as archive:
+        for ref in selected:
+            archive.extract(ref + ".fasta.gz", temp_dir)
+    return {ref: temp_dir + ref + ".fasta.gz" for ref in selected}
+
+
+def _resolve_reads(args, temp_dir: str):
+    """(r1, r2) read files for the aligner; a single bare assembly fasta is
+    shredded into pseudo-reads first (reference align.py:394-398)."""
+    if len(args.input_files) == 2:
+        return args.input_files[0], args.input_files[1]
+    (single,) = args.input_files
+    if os.path.splitext(single)[1] in (".fasta", ".fa"):
+        shredded = temp_dir + "simulated_" + os.path.basename(single) + ".gz"
+        generate_reads(single, shredded)
+        return shredded, None
+    return single, None
+
+
 def align(args):
     setup_logging(args.loglevel)
 
     if args.database is None and args.refseqs is None:
         logging.error("Must provide either a database or reference sequences!")
         sys.exit(1)
-
-    if args.database is not None:
-        if ".zip" not in args.database:
-            logging.error("Database must be a zip file!")
-            sys.exit(1)
-
-    single_ref = False
-    if args.refseqs is not None and args.database is None:
+    if args.database is not None and ".zip" not in args.database:
+        logging.error("Database must be a zip file!")
+        sys.exit(1)
+    if args.database is None and args.refseqs is not None:
         if ".fna" not in args.refseqs and ".fasta" not in args.refseqs:
             logging.error(
                 "Reference sequences must be a fasta file if not using a database!"
             )
             sys.exit(1)
-        single_ref = True
-        references = [os.path.splitext(os.path.basename(args.refseqs))[0]]
-        ref_locs = {references[0]: args.refseqs}
 
-    if not os.path.exists(args.output_dir):
-        os.mkdir(args.output_dir)
+    os.makedirs(args.output_dir, exist_ok=True)
     args.output_dir = os.path.join(args.output_dir, "")
-    if args.refseqs is not None:
+    if args.refseqs is not None and args.database is not None:
+        # with a database, --refseqs is a GTDB-style genome FOLDER
         args.refseqs = os.path.join(args.refseqs, "")
     temp_dir = os.path.join(tempfile.mkdtemp(dir=args.output_dir), "")
 
     if args.prefix is None:
         args.prefix = os.path.splitext(os.path.basename(args.input_files[0]))[0]
 
-    if not single_ref:
-        import shutil as _shutil
-
-        from tracs_tpu.sketch import load_db_sketches, native_gather
-
-        use_native = False
-        if ".sbt.zip" not in args.database:
-            with ZipFile(args.database, "r") as archive:
-                members = set(archive.namelist())
-            has_sbt = "sourmashDB.sbt.zip" in members
-            have_sourmash = _shutil.which("sourmash") is not None
-            if (not has_sbt) or (not have_sourmash and load_db_sketches(args.database)):
-                use_native = True
-
-        if use_native:
-            logging.info("Selecting references with the native FracMinHash gather")
-            references = native_gather(
-                args.input_files,
-                args.database,
-                args.output_dir + args.prefix + "_sourmash_hits.csv",
-            )
-        else:
-            if ".sbt.zip" in args.database:
-                smdb = args.database
-            else:
-                with ZipFile(args.database, "r") as archive:
-                    archive.extract("sourmashDB.sbt.zip", temp_dir)
-                    smdb = temp_dir + "sourmashDB.sbt.zip"
-
-            references = run_gather(
-                input_files=args.input_files,
-                databasefile=smdb,
-                output=args.output_dir + args.prefix + "_sourmash_hits",
-                temp_dir=temp_dir,
-            )
-
-        ref_locs = {}
-        if ".sbt.zip" in args.database:
-            logging.warning(
-                "No references provided. tracs_tpu will attempt to locate or "
-                "download references"
-            )
-            if args.refseqs is None:
-                if not os.path.exists(args.output_dir + "genbank_references"):
-                    os.mkdir(args.output_dir + "genbank_references")
-
-            references = [r.split()[0].strip('"') for r in references]
-            logging.debug("%s", references)
-
-            for ref in references:
-                if args.refseqs is None:
-                    temprefdir = args.output_dir + "genbank_references/" + ref + "/"
-                    if not os.path.exists(temprefdir):
-                        os.mkdir(temprefdir)
-                        ref_locs[ref] = download_ref(ref, temprefdir)
-                    else:
-                        logging.info("Reference already downloaded: %s", ref)
-                        ref_locs[ref] = glob.glob(temprefdir + "*.fna.gz")[0]
-                else:
-                    ref_locs[ref] = find_fasta(args.refseqs, ref)
-        else:
-            with ZipFile(args.database, "r") as archive:
-                for ref in references:
-                    archive.extract(ref + ".fasta.gz", temp_dir)
-                    ref_locs[ref] = temp_dir + ref + ".fasta.gz"
-
-    # shred assemblies into pseudo-reads so they can go through the aligner
-    if len(args.input_files) == 1:
-        if os.path.splitext(args.input_files[0])[1] in [".fasta", ".fa"]:
-            r1 = temp_dir + "simulated_" + os.path.basename(args.input_files[0]) + ".gz"
-            generate_reads(args.input_files[0], r1)
-        else:
-            r1 = args.input_files[0]
-        r2 = None
-    elif len(args.input_files) == 2:
-        r1, r2 = args.input_files
+    ref_locs = select_references(args, temp_dir)
+    references = list(ref_locs)
+    r1, r2 = _resolve_reads(args, temp_dir)
 
     if getattr(args, "composite", False):
         from tracs_tpu.io.external import align_and_pileup_composite

@@ -1,9 +1,18 @@
 """``build-db`` stage: reference database zip construction.
 
-Parity with reference tracs/build_db.py: sourmash-sketch every genome
-(joblib-parallel), ``sourmash index`` them into sourmashDB.sbt.zip, then zip
-the SBT plus each genome as ``<prefix>.fasta.gz`` plus a ``summary.tsv``.
-Accepts either many fasta arguments or a single ``path,prefix`` list file.
+Database layout kept from reference tracs/build_db.py so databases are
+interchangeable: ``<dbname>.zip`` holding each genome as
+``<prefix>.fasta.gz``, a ``summary.tsv`` manifest, and — when sourmash is
+installed — a ``sourmashDB.sbt.zip`` SBT index for ``sourmash gather``.
+Inputs are either many fasta paths or a single ``path,prefix`` CSV list
+file (reference build_db.py:123-132).
+
+TPU-native differences: every database also embeds native FracMinHash
+sketches (tracs_tpu/sketch.py), so ``align`` works with no sourmash binary
+at all; genomes are streamed straight into the archive (no temp-dir
+copies); and ``summary.tsv`` rows are newline-separated (the reference
+concatenates them onto one line, build_db.py:158-160 — nothing parses the
+file, so the fixed format is kept).
 """
 
 from __future__ import annotations
@@ -11,22 +20,16 @@ from __future__ import annotations
 import argparse
 import gzip
 import logging
-import os
 import shutil
 import subprocess
 import tempfile
-from zipfile import ZipFile
+from pathlib import Path
+from zipfile import ZIP_STORED, ZipFile
 
 from joblib import Parallel, delayed
 
 from tracs_tpu.io.external import require_tool, run_sketch
 from tracs_tpu.utils import add_loglevel_arg, setup_logging
-
-try:
-    from tqdm import tqdm
-except ImportError:  # pragma: no cover
-    def tqdm(x, **kw):
-        return x
 
 
 def build_db_parser(parser):
@@ -35,11 +38,11 @@ def build_db_parser(parser):
     parser.add_argument(
         "-i", "--input", dest="input_files", required=True,
         help="path to genome fasta files (one per reference genome).",
-        type=os.path.abspath, nargs="+",
+        type=Path, nargs="+",
     )
     parser.add_argument(
         "-o", "--output", dest="dbname", required=True,
-        help="name of the database file", type=os.path.abspath,
+        help="name of the database file", type=Path,
     )
     parser.add_argument(
         "--ksize", dest="ksize", default=51, type=int,
@@ -58,79 +61,103 @@ def build_db_parser(parser):
     return parser
 
 
-def build_sourmash_db(inputs, outputdir, ksize=51, scale=1000, n_cpu=1):
-    require_tool("sourmash")
-    temp_dir = os.path.join(tempfile.mkdtemp(dir=outputdir), "")
+def _genome_manifest(input_files: list[Path]) -> list[tuple[Path, str]]:
+    """[(fasta_path, prefix)] from the CLI inputs.  A single non-fasta
+    argument is a ``prefix,path`` CSV list file (reference column order,
+    build_db.py:125-128); otherwise prefixes come from file stems."""
+    if len(input_files) == 1 and not _looks_like_fasta(input_files[0]):
+        rows = []
+        for line in input_files[0].read_text().splitlines():
+            if not line.strip():
+                continue
+            prefix, path = line.strip().split(",")[:2]
+            rows.append((Path(path), prefix))
+        return rows
+    return [(f, f.name.rsplit(".", 1)[0]) for f in input_files]
 
-    Parallel(n_jobs=n_cpu)(
-        delayed(run_sketch)([f], prefix, temp_dir + prefix + ".sig", ksize, scale)
-        for f, prefix in tqdm(inputs)
+
+def _looks_like_fasta(path: Path) -> bool:
+    suffix = path.name.lower()
+    return any(
+        suffix.endswith(ext)
+        for ext in (".fa", ".fasta", ".fna", ".fa.gz", ".fasta.gz", ".fna.gz")
     )
 
-    cmd = "sourmash index "
-    cmd += outputdir + "sourmashDB.sbt.zip "
-    cmd += temp_dir + "*.sig"
-    logging.info("running cmd: %s", cmd)
-    subprocess.run(cmd, shell=True, check=True)
 
-    shutil.rmtree(temp_dir)
-    return outputdir + "sourmashDB.sbt.zip"
+def _archive_genome(archive: ZipFile, fasta: Path, prefix: str) -> None:
+    """Store the genome in the archive as <prefix>.fasta.gz — already-gzipped
+    inputs are stored as-is, plain fasta is gzip-streamed straight into the
+    zip member (no temp file)."""
+    member = f"{prefix}.fasta.gz"
+    if fasta.name.endswith(".gz"):
+        archive.write(fasta, member)
+        return
+    with archive.open(member, "w") as raw, open(fasta, "rb") as src:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
+            shutil.copyfileobj(src, gz)
+
+
+def _sourmash_index(genomes: list[tuple[Path, str]], workdir: Path, *,
+                    ksize: int, scale: int, n_cpu: int) -> Path:
+    """Sketch every genome and index the signatures into an SBT zip
+    (command contracts: ``sourmash sketch dna`` via io.external.run_sketch,
+    then ``sourmash index``)."""
+    require_tool("sourmash")
+    sig_dir = Path(tempfile.mkdtemp(dir=workdir))
+    Parallel(n_jobs=n_cpu)(
+        delayed(run_sketch)(
+            [str(fasta)], prefix, str(sig_dir / f"{prefix}.sig"), ksize, scale
+        )
+        for fasta, prefix in genomes
+    )
+    sbt = workdir / "sourmashDB.sbt.zip"
+    sigs = sorted(str(p) for p in sig_dir.glob("*.sig"))
+    logging.info("indexing %d signatures into %s", len(sigs), sbt)
+    subprocess.run(["sourmash", "index", str(sbt), *sigs], check=True)
+    shutil.rmtree(sig_dir)
+    return sbt
 
 
 def build_db(args):
     setup_logging(args.loglevel)
 
-    wd = os.path.dirname(os.path.realpath(args.dbname))
-    temp_dir = os.path.join(tempfile.mkdtemp(dir=wd), "")
+    genomes = _genome_manifest(list(args.input_files))
+    if not genomes:
+        raise SystemExit("no input genomes given")
+    db_path = Path(f"{args.dbname}.zip")
+    db_path.parent.mkdir(parents=True, exist_ok=True)
 
-    if len(args.input_files) == 1:
-        with open(args.input_files[0], "r") as infile:
-            inputs = []
-            for line in infile:
-                line = line.strip().split(",")
-                inputs.append((line[1], line[0]))
-    else:
-        inputs = [
-            (f, os.path.splitext(os.path.basename(f))[0]) for f in args.input_files
-        ]
-
-    import shutil as _shutil
-
-    have_sourmash = _shutil.which("sourmash") is not None
-    with ZipFile(args.dbname + ".zip", "w") as archive:
-        if have_sourmash:
-            path_to_sourmashdb = build_sourmash_db(
-                inputs, temp_dir, ksize=args.ksize, scale=args.scale, n_cpu=1
-            )
-            archive.write(path_to_sourmashdb, "sourmashDB.sbt.zip")
-        else:
-            logging.warning(
-                "sourmash not found: building the database with native "
-                "FracMinHash sketches only (align will use the native gather)"
-            )
-
-        for f, prefix in inputs:
-            if f.split(".")[-1] == "gz":
-                archive.write(f, prefix + ".fasta.gz")
+    have_sourmash = shutil.which("sourmash") is not None
+    with tempfile.TemporaryDirectory(dir=db_path.parent) as td:
+        with ZipFile(db_path, "w", ZIP_STORED) as archive:
+            if have_sourmash:
+                sbt = _sourmash_index(
+                    genomes, Path(td),
+                    ksize=args.ksize, scale=args.scale, n_cpu=args.n_cpu,
+                )
+                archive.write(sbt, "sourmashDB.sbt.zip")
             else:
-                newloc = temp_dir + prefix + ".fasta.gz"
-                with open(f, "rb") as f_in:
-                    with gzip.open(newloc, "wb") as f_out:
-                        shutil.copyfileobj(f_in, f_out)
-                archive.write(newloc, prefix + ".fasta.gz")
-                os.remove(newloc)
-
-        with open(temp_dir + "summary.tsv", "w") as outfile:
-            for f, prefix in inputs:
-                outfile.write(prefix + "," + prefix + ".fasta.gz")
-        archive.write(temp_dir + "summary.tsv", "summary.tsv")
+                logging.warning(
+                    "sourmash not found: building the database with native "
+                    "FracMinHash sketches only (align will use the native "
+                    "gather)"
+                )
+            for fasta, prefix in genomes:
+                logging.info("adding %s as %s.fasta.gz", fasta, prefix)
+                _archive_genome(archive, fasta, prefix)
+            manifest = "".join(
+                f"{prefix},{prefix}.fasta.gz\n" for _f, prefix in genomes
+            )
+            archive.writestr("summary.tsv", manifest)
 
     # native FracMinHash sketches: every database is usable without sourmash
     from tracs_tpu.sketch import write_db_sketches
 
-    write_db_sketches(args.dbname + ".zip", inputs, ksize=args.ksize, scaled=args.scale)
-
-    shutil.rmtree(temp_dir)
+    write_db_sketches(
+        str(db_path), [(str(f), p) for f, p in genomes],
+        ksize=args.ksize, scaled=args.scale,
+    )
+    logging.info("database written to %s (%d genomes)", db_path, len(genomes))
     return
 
 

@@ -1,29 +1,39 @@
 """``combine`` stage: gather per-sample align outputs into per-reference
 combined alignments + merged metadata.
 
-Parity with reference tracs/combine.py: scans each sample directory for
-``*posterior_counts_ref_<REF>.fasta*``, writes ``<REF>_combined.fasta.gz``
-with records renamed to the sample (one sequence per input enforced,
-combine.py:230-236), computes the fraction of N calls, and merges sourmash
-hit CSVs into ``combined_metadata.csv`` (coverage columns are "NA", matching
-the reference's commented-out coverage calculation, combine.py:145-163).
+Output contracts kept from reference tracs/combine.py (same file names and
+CSV schema so downstream tooling is interchangeable): per reference a
+``<REF>_combined.fasta.gz`` with records renamed to their sample (exactly
+one sequence per input file), and a ``combined_metadata.csv`` with columns
+``sample,accession,intersect_bp,f_orig_query,f_match,f_unique_to_query,
+coverage,mean_depth,mean_nonzero_depth,frac_N,species``.  The reference
+leaves the three coverage columns "NA" (its pileup-depth helper is defined
+but dead code, combine.py:84-103); here they stay "NA" by default for
+output parity, and ``--coverage`` fills them from the per-sample pileups
+via the native vectorised parser (io/pileup.py) instead of the reference's
+line-by-line Python scan.
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
+import csv
 import gzip
 import logging
-import os
-import re
 import sys
-from collections import ChainMap, defaultdict
+from collections import defaultdict
+from pathlib import Path
 
 from joblib import Parallel, delayed
 
 from tracs_tpu.io.fasta import read_fasta
 from tracs_tpu.utils import add_loglevel_arg, setup_logging
+
+_ALIGN_GLOB = "*posterior_counts_ref_*.fasta*"
+_META_HEADER = (
+    "sample,accession,intersect_bp,f_orig_query,f_match,f_unique_to_query,"
+    "coverage,mean_depth,mean_nonzero_depth,frac_N,species"
+)
 
 
 def combine_parser(parser):
@@ -33,14 +43,20 @@ def combine_parser(parser):
     io_opts.add_argument(
         "-i", "--input", dest="directories", required=True,
         help="Paths to each directory containing the output of the align function",
-        type=os.path.abspath, nargs="+",
+        type=Path, nargs="+",
     )
     io_opts.add_argument(
         "-o", "--output", dest="output_dir", required=True,
         help="name of the output directory to store the combined alignments.",
-        type=str,
+        type=Path,
     )
 
+    parser.add_argument(
+        "--coverage", dest="with_coverage", action="store_true", default=False,
+        help="fill the coverage/mean_depth columns of combined_metadata.csv "
+             "from the per-sample pileups (the reference schema leaves them "
+             "NA; this uses the native pileup parser so it is cheap)",
+    )
     parser.add_argument(
         "-t", "--threads", dest="n_cpu",
         help="number of threads to use (default=1)", type=int, default=1,
@@ -50,122 +66,146 @@ def combine_parser(parser):
     return parser
 
 
-def sum_after_semicolon(line: str) -> int:
-    """Total read depth from a pileup line's count column
-    (reference combine.py:77-81)."""
-    last_column = line.strip().split()[-1]
-    numbers_str = last_column.replace(":", ",")
-    numbers = map(int, numbers_str.split(",")[2:])
-    return sum(numbers)
+def _sample_dirs(directories: list[Path]) -> list[Path]:
+    """Expand the input spec: one non-directory argument is a file listing
+    sample directories, one per line."""
+    if len(directories) == 1 and not directories[0].is_dir():
+        listing = directories[0].read_text().splitlines()
+        directories = [Path(line.strip()) for line in listing if line.strip()]
+    for d in directories:
+        if not d.is_dir():
+            logging.error("ERROR: %s is not a directory", d)
+            sys.exit(1)
+    return directories
 
 
-def calculate_coverage(pileup: str):
-    """Covered-site count and total depth for a pileup file (the reference
-    defines this helper but leaves it unused, combine.py:84-103; here it is
-    kept working for ad-hoc coverage summaries).  Returns
-    (sample, ref, covered_sites, total_depth); NaN on truncated files."""
-    import math
-
-    sample = os.path.dirname(pileup).split(os.sep)[-1]
-    ref = re.search(r"ref_(.+)_pileup", os.path.basename(pileup)).group(1)
-    try:
-        with gzip.open(pileup, "rt") as infile:
-            cov = 0
-            depth = 0
-            for line in infile:
-                c = sum_after_semicolon(line)
-                if c > 0:
-                    cov += 1
-                depth += c
-    except EOFError as e:
-        logging.error(str(e))
-        logging.error("Error: An EOFError occurred reading %s", pileup)
-        return (sample, ref, math.nan, math.nan)
-    return (sample, ref, cov, depth)
-
-
-def find_ref(filename: str) -> str:
-    result = re.search(r"posterior_counts_ref_(.+)\.fasta", filename)
-    if not result:
-        logging.error("ERROR: %s is not the expected output of align", filename)
+def ref_of_alignment(path: Path) -> str:
+    """Reference name encoded in an align-stage output file name."""
+    stem = path.name
+    marker = "posterior_counts_ref_"
+    start = stem.find(marker)
+    end = stem.rfind(".fasta")
+    if start < 0 or end <= start:
+        logging.error("ERROR: %s is not the expected output of align", path)
         sys.exit(1)
-    return result.group(1)
+    return stem[start + len(marker):end]
 
 
-def write_alignment(ref, alns, output_dir):
-    output_file = output_dir + ref + "_combined.fasta.gz"
-    ncov = {}
-    logging.info("Writing combined alignment for %s to %s", ref, output_file)
-    with gzip.open(output_file, "wt") as fasta_file:
-        for sample, path in alns:
-            count = 0
-            for _name, seq in read_fasta(path):
-                fasta_file.write(f">{sample}\n{seq}\n")
-                count += 1
-                if count > 1:
-                    logging.error("ERROR: %s contains more than one sequence", path)
-                    sys.exit(1)
-                ncov[(sample, ref)] = (seq.count("N") / len(seq), len(seq))
-    return ncov
+def merge_ref_alignment(ref: str, entries: list[tuple[str, Path]], out_dir: Path):
+    """Concatenate one reference's per-sample FASTAs into
+    ``<REF>_combined.fasta.gz``, renaming each record to its sample.
+    Returns {(sample, ref): (frac_N, length)}."""
+    out_path = out_dir / f"{ref}_combined.fasta.gz"
+    logging.info("Writing combined alignment for %s to %s", ref, out_path)
+    frac_n = {}
+    with gzip.open(out_path, "wt") as out:
+        for sample, path in entries:
+            records = read_fasta(path)
+            name_seq = next(records, None)
+            if name_seq is None:
+                logging.error("ERROR: %s contains no sequence", path)
+                sys.exit(1)
+            if next(records, None) is not None:
+                logging.error("ERROR: %s contains more than one sequence", path)
+                sys.exit(1)
+            seq = name_seq[1]
+            out.write(f">{sample}\n{seq}\n")
+            frac_n[(sample, ref)] = (seq.count("N") / len(seq), len(seq))
+    return frac_n
+
+
+def pileup_coverage(pileup: Path):
+    """(covered_sites, mean_depth, mean_nonzero_depth) from one pileup via
+    the vectorised parser — the working replacement for the reference's
+    dead calculate_coverage (combine.py:84-103).  Depth counts A/C/G/T
+    allele reads on either strand."""
+    import numpy as np
+
+    from tracs_tpu.io.pileup import scan_pileup_depth
+
+    depth = scan_pileup_depth(pileup)
+    if depth is None or depth.size == 0:
+        return None
+    covered = int(np.count_nonzero(depth))
+    if covered == 0:
+        return None
+    return covered, float(depth.mean()), float(depth.sum() / covered)
+
+
+def _coverage_by_key(directories: list[Path], n_cpu: int) -> dict:
+    jobs = []
+    for directory in directories:
+        sample = directory.resolve().name
+        for pileup in sorted(directory.glob("*ref_*_pileup.txt.gz")):
+            name = pileup.name
+            ref = name[name.find("ref_") + 4: name.rfind("_pileup")]
+            jobs.append((sample, ref, pileup))
+    stats = Parallel(n_jobs=n_cpu)(
+        delayed(pileup_coverage)(path) for _s, _r, path in jobs
+    )
+    return {
+        (s, r): st for (s, r, _p), st in zip(jobs, stats) if st is not None
+    }
+
+
+def _merged_metadata_rows(directories, frac_n, coverage):
+    """Rows of combined_metadata.csv from each sample's sourmash-hit CSVs.
+    The accession is the first token of the gather 'name' column; the rest
+    of that column is the species text."""
+    for directory in directories:
+        sample = directory.resolve().name
+        for hits in sorted(directory.glob("*_sourmash_hits.csv")):
+            with open(hits, newline="") as fh:
+                reader = csv.reader(fh)
+                next(reader, None)
+                for row in reader:
+                    if len(row) < 10:
+                        continue
+                    name_field = row[9].strip('"')
+                    accession = name_field.split()[0]
+                    species = name_field.replace(accession, "").strip()
+                    cov = coverage.get((sample, accession))
+                    cov_cols = (
+                        [str(c) for c in cov] if cov else ["NA", "NA", "NA"]
+                    )
+                    nfrac = frac_n.get((sample, accession))
+                    yield [
+                        sample, accession, *row[:4], *cov_cols,
+                        str(nfrac[0]) if nfrac else "NA", species,
+                    ]
 
 
 def combine(args):
     setup_logging(args.loglevel)
 
-    # a single non-directory argument is a file listing directories
-    if len(args.directories) == 1 and not os.path.isdir(args.directories[0]):
-        with open(args.directories[0], "r") as infile:
-            args.directories = [line.strip() for line in infile.readlines()]
+    directories = _sample_dirs(list(args.directories))
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
 
-    for directory in args.directories:
-        if not os.path.isdir(directory):
-            logging.error("ERROR: %s is not a directory", directory)
-            sys.exit(1)
+    by_ref = defaultdict(list)
+    for directory in directories:
+        sample = directory.resolve().name
+        for aln in sorted(directory.glob(_ALIGN_GLOB)):
+            by_ref[ref_of_alignment(aln)].append((sample, aln))
 
-    if not os.path.exists(args.output_dir):
-        os.mkdir(args.output_dir)
-    args.output_dir = os.path.join(args.output_dir, "")
+    frac_n = {}
+    for part in Parallel(n_jobs=args.n_cpu)(
+        delayed(merge_ref_alignment)(ref, entries, out_dir)
+        for ref, entries in by_ref.items()
+    ):
+        frac_n.update(part)
 
-    alignments = defaultdict(list)
-    for directory in args.directories:
-        sample = os.path.basename(os.path.normpath(directory))
-        for aln in glob.iglob(os.path.join(directory, "*posterior_counts_ref_*.fasta*")):
-            ref = find_ref(aln)
-            alignments[ref].append((sample, aln))
-
-    ncovs = Parallel(n_jobs=args.n_cpu)(
-        delayed(write_alignment)(ref, alns, args.output_dir)
-        for ref, alns in alignments.items()
+    coverage = (
+        _coverage_by_key(directories, args.n_cpu)
+        if getattr(args, "with_coverage", False)
+        else {}
     )
-    ncovs = ChainMap(*ncovs)
 
-    # merge sourmash gather results (coverage columns intentionally NA)
-    with open(args.output_dir + "combined_metadata.csv", "w") as outfile:
-        outfile.write(
-            "sample,accession,intersect_bp,f_orig_query,f_match,"
-            "f_unique_to_query,coverage,mean_depth,mean_nonzero_depth,frac_N,species\n"
-        )
-        for directory in args.directories:
-            sample = os.path.basename(os.path.normpath(directory))
-            for sourmash in glob.iglob(os.path.join(directory, "*_sourmash_hits.csv")):
-                with open(sourmash, "r") as infile:
-                    next(infile)
-                    for line in infile:
-                        line = line.strip().split(",")
-                        accession = line[9].split()[0].strip('"')
-                        species = line[9].replace(accession, "").replace('"', "").strip()
-                        if (sample, accession) in ncovs:
-                            ncov = str(ncovs[(sample, accession)][0])
-                        else:
-                            ncov = "NA"
-                        outfile.write(
-                            ",".join(
-                                [sample, accession]
-                                + line[:4]
-                                + ["NA", "NA", "NA", ncov, species]
-                            )
-                            + "\n"
-                        )
+    meta_path = out_dir / "combined_metadata.csv"
+    with open(meta_path, "w") as out:
+        out.write(_META_HEADER + "\n")
+        for row in _merged_metadata_rows(directories, frac_n, coverage):
+            out.write(",".join(row) + "\n")
     return
 
 
