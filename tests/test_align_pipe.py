@@ -281,3 +281,56 @@ def test_build_db_to_align_native_sketch_e2e(tmp_path, rng, monkeypatch):
     called = list(read_fasta(outdir / "s1_posterior_counts_ref_GENOME2.fasta"))[0][1]
     assert called[77] == MUT[g2[77]]
     assert called[78] == g2[78]
+
+
+def test_pipe_parallel_ingest_scales(tmp_path, rng, ref_genome, monkeypatch):
+    """--align-workers runs per-sample align concurrently: with a fake
+    aligner that sleeps, 4 workers over 4 samples must beat serial by >2x
+    (VERDICT r1 item 5), with identical outputs."""
+    import time
+
+    from tracs_tpu.stages import align as align_mod
+
+    ref_path = tmp_path / "REF1.fasta"
+    write_fasta(ref_path, [("chr1", ref_genome)])
+    db_path = tmp_path / "db.zip"
+    make_db_zip(db_path, ref_path, "REF1")
+
+    samples = {
+        f"s{k}": make_sample(ref_genome, [100 + 10 * k]) for k in range(4)
+    }
+    inner = fake_align_and_pileup_factory(ref_genome, samples)
+
+    def slow_fake(*a, **kw):
+        time.sleep(0.5)  # stands in for the minimap2|samtools|htsbox wall
+        inner(*a, **kw)
+
+    monkeypatch.setattr(align_mod, "align_and_pileup", slow_fake)
+    monkeypatch.setattr(align_mod, "run_gather", lambda **kw: ["REF1"])
+
+    input_tsv = tmp_path / "input.tsv"
+    with open(input_tsv, "w") as fh:
+        fh.write("prefix\tr1\n")
+        for name in samples:
+            reads = tmp_path / f"{name}.fastq.gz"
+            reads.write_bytes(gzip.compress(b"@r\nA\n+\nF\n"))
+            fh.write(f"{name}\t{reads}\n")
+
+    from tracs_tpu.cli import main as cli_main
+
+    def run(outdir, workers):
+        t0 = time.time()
+        cli_main([
+            "pipe", "-i", str(input_tsv), "--database", str(db_path),
+            "-o", str(outdir), "--min-cov", "2",
+            "--align-workers", str(workers),
+        ])
+        return time.time() - t0
+
+    t_serial = run(tmp_path / "serial", 1)
+    t_parallel = run(tmp_path / "parallel", 4)
+    assert t_serial / t_parallel > 2.0, (t_serial, t_parallel)
+
+    a = (tmp_path / "serial" / "transmission_distances.csv").read_text()
+    b = (tmp_path / "parallel" / "transmission_distances.csv").read_text()
+    assert sorted(a.splitlines()) == sorted(b.splitlines())

@@ -72,6 +72,15 @@ def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
     if spec == "off":
         return None
     if spec == "auto":
+        if jax.process_count() > 1:
+            # SPMD safety: a global mesh is only valid when EVERY process
+            # executes the same program (a proper multi-host launcher).
+            # 'auto' therefore stays on this process's own chips; ask for an
+            # explicit 'DPxSP' to span hosts.
+            devices = jax.local_devices()
+            if len(devices) <= 1:
+                return None
+            return make_mesh(*best_mesh_shape(len(devices)), devices=devices)
         n = len(jax.devices())
         if n <= 1:
             return None

@@ -131,6 +131,20 @@ def pipe_parser(parser):
                               help="The type of transmission distance to use. Can be one "
                                    "of 'snp' (default), 'filter', 'direct', 'expectedK'")
 
+    scale = parser.add_argument_group("Scale options")
+    scale.add_argument(
+        "--align-workers", dest="align_workers", type=check_positive_int,
+        default=1,
+        help="number of samples to ingest (align) concurrently on this host "
+             "(default=1; the aligner subprocesses dominate, so workers "
+             "multiply throughput until CPU cores saturate)",
+    )
+    scale.add_argument(
+        "--mesh", dest="mesh", type=str, default=None,
+        help="device mesh for the distance stage: 'auto' (default), 'off', "
+             "or 'DPxSP' (see tracs-tpu distance --help)",
+    )
+
     parser.add_argument("-t", "--threads", dest="n_cpu",
                         help="number of threads to use (default=1)", type=int, default=1)
     add_loglevel_arg(parser)
@@ -138,17 +152,12 @@ def pipe_parser(parser):
     return parser
 
 
-def pipe(args):
-    setup_logging(args.loglevel)
-
-    if not os.path.exists(args.output_dir):
-        os.mkdir(args.output_dir)
-    args.output_dir = os.path.join(args.output_dir, "")
-    outputdir = args.output_dir
-
-    # validate input TSV: prefix read1 [read2]
+def _validated_samples(input_file: str) -> list[list[str]]:
+    """Rows of the input TSV (``prefix read1 [read2]``), validated: unique
+    prefixes, every read path an existing file (reference pipe.py:300-313)."""
+    rows = []
     prefixes = set()
-    with open(args.input_file, "r") as infile:
+    with open(input_file, "r") as infile:
         next(infile)
         for line in infile:
             line = line.strip().split()
@@ -161,19 +170,80 @@ def pipe(args):
                 raise ValueError("Path does not exist or is not a file! " + line[1])
             if (len(line) > 2) and not os.path.isfile(line[2]):
                 raise ValueError("Path does not exist or is not a file! " + line[2])
+            rows.append(line)
+    return rows
 
-    # per-sample align (the natural distribution boundary: each sample's
-    # ingest is independent and can run on its own host)
-    with open(args.input_file, "r") as infile:
-        next(infile)
-        for line in infile:
-            line = line.strip().split()
-            if not line:
-                continue
-            args.input_files = line[1:]
-            args.prefix = line[0]
-            args.output_dir = outputdir + line[0]
-            align(args)
+
+def _ingest_samples(args, outputdir: str, rows: list[list[str]]) -> None:
+    """Per-sample align — the natural distribution boundary (each sample's
+    ingest is independent; reference docs/pipe.md:472-473 recommend
+    distributing it).  Two axes:
+
+    * across hosts: under jax.distributed each process takes rows where
+      ``i % process_count == process_index`` (shared filesystem assumed,
+      as on a pod slice);
+    * within a host: ``--align-workers`` samples run concurrently in a
+      thread pool — the aligner subprocesses (minimap2|samtools|htsbox)
+      dominate and release the GIL, so threads scale without fighting the
+      single TPU client the way worker processes would.
+    """
+    import argparse as _argparse
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    my_rows = [row for i, row in enumerate(rows) if i % pcnt == pidx]
+    if pcnt > 1:
+        import logging
+
+        logging.info(
+            "host %d/%d ingesting %d of %d samples", pidx, pcnt,
+            len(my_rows), len(rows),
+        )
+
+    def align_one(row):
+        sample_args = _argparse.Namespace(**vars(args))
+        sample_args.input_files = row[1:]
+        sample_args.prefix = row[0]
+        sample_args.output_dir = outputdir + row[0]
+        align(sample_args)
+
+    workers = max(1, min(getattr(args, "align_workers", 1), len(my_rows) or 1))
+    if workers == 1:
+        for row in my_rows:
+            align_one(row)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # list() propagates the first worker exception
+            list(pool.map(align_one, my_rows))
+
+
+def pipe(args):
+    setup_logging(args.loglevel)
+
+    if not os.path.exists(args.output_dir):
+        os.mkdir(args.output_dir)
+    args.output_dir = os.path.join(args.output_dir, "")
+    outputdir = args.output_dir
+
+    rows = _validated_samples(args.input_file)
+    prefixes = {row[0] for row in rows}
+
+    _ingest_samples(args, outputdir, rows)
+
+    import jax
+
+    if jax.process_count() > 1:
+        # all hosts must finish ingest before the global phases; the
+        # combine/distance/cluster tail then runs on process 0 (its own
+        # chips — run `tracs-tpu distance --mesh DPxSP` under an SPMD
+        # launcher for a cross-host all-pairs sweep)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tracs_tpu_pipe_align_done")
+        if jax.process_index() != 0:
+            return
 
     args.output_dir = outputdir
 
