@@ -1,14 +1,24 @@
 """Headline benchmark: all-pairs SNP-distance throughput per chip.
 
-Workload (BASELINE.json north star): n samples x 1 Mb genomes, full
-pairwise SNP distance + comparable-sites matrices via the MXU channel-gram
-kernel.  The reference publishes no numbers (BASELINE.md), so vs_baseline
-is the measured speedup over a faithful CPU realisation of the reference's
+Workload (BASELINE.json north star): n samples x 1 Mb genomes, streamed
+through the PRODUCTION unit — ``pairsnp_stream``'s per-block device sweep
+(split-decomposition MXU grams), device-side threshold + survivor count,
+device-side COO compaction, and the host download/assembly of the
+surviving (row, col, d, nn) entries.  The synthetic alignment has cluster
+structure tuned so ~0.5% of pairs fall under the SNP threshold, so the
+sparse-download path does real work instead of short-circuiting on zero
+survivors.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+measured speedup over a faithful CPU realisation of the reference's
 kernel (bit-packed AND/OR + popcount over uint64 words, numpy vectorised,
 scaled to all host cores — an optimistic stand-in for the OpenMP loop in
 reference src/pairsnp.hpp:380-421).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
+``mfu`` is the fraction of the chip's book int8 matmul peak (v5e: 394
+TOPS) achieved by the sweep's gram MACs (5 int8 MACs/site/pair: 4
+exclusive-base channels + 1 N-mask channel, both triangles computed).
 """
 
 import json
@@ -18,22 +28,26 @@ import time
 
 import numpy as np
 
+INT8_PEAK_OPS = 394e12  # TPU v5e book peak, int8 ops/s
 
-def _make_packed(n, L, p_partial=0.0, seed=0):
-    """Realistic alignment composition: mostly unambiguous calls, ~14% N
-    (low-coverage sites), optional partial IUPAC codes (mixed strains).
 
-    Throughput here is data-independent (dense integer grams), so samples
-    are cut from ONE random site pool at 32-site offsets: RNG cost is O(L)
-    instead of O(n*L) and each sample's planes are a word-shifted view of
-    the pool planes.  Composition is quantised to 1/256 via a uint8 LUT.
+def _random_planes(n, L, seed=0):
+    """n random packed 4-plane samples with realistic composition: ~86%
+    unambiguous calls, 14% N (low coverage).  Partial IUPAC codes are NOT
+    drawn here: in real data they appear only at shared polymorphic
+    columns (make_clustered injects them there); independent per-sample
+    partial sites would union to ~the whole genome across n samples and
+    blow the partial-correction gram up to 10 channels x L — a shape no
+    real alignment produces.
+
+    Samples are cut from ONE random site pool at 32-site offsets: RNG cost
+    is O(L) instead of O(n*L).  Composition quantised to 1/256 via a LUT.
     """
-    from tracs_tpu.ops.packing import PackedAlignment, nibbles_to_planes
+    from tracs_tpu.ops.packing import nibbles_to_planes
 
     rng = np.random.default_rng(seed)
-    base = (1 - 0.14 - 2 * p_partial) / 4
-    probs = np.array([base] * 4 + [0.14, p_partial, p_partial])
-    codes = np.array([1, 2, 4, 8, 15, 3, 5], dtype=np.uint8)
+    probs = np.array([0.215] * 4 + [0.14])
+    codes = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
     counts = np.diff(np.round(np.concatenate([[0.0], np.cumsum(probs)]) * 256))
     lut = np.repeat(codes, counts.astype(np.int64))
     assert lut.shape == (256,)
@@ -45,49 +59,106 @@ def _make_packed(n, L, p_partial=0.0, seed=0):
     planes = np.empty((n, 4, W), dtype=np.uint32)
     for i in range(n):
         planes[i] = pool_planes[:, i : i + W]
-    # clear padding tail bits beyond L in the last word
     tail = W * 32 - L
     if tail:
         planes[:, :, -1] &= np.uint32(0xFFFFFFFF >> tail)
+    return planes
+
+
+def _mutate_inplace(planes, positions, rng):
+    """Point-mutate one sample's packed planes: at each position clear all
+    four base bits, then set one random base (unambiguous substitution)."""
+    w = (positions // 32).astype(np.int64)
+    b = (positions % 32).astype(np.uint32)
+    clear = ~(np.uint32(1) << b)
+    setb = np.uint32(1) << b
+    for c in range(4):
+        np.bitwise_and.at(planes[c], w, clear)
+    newbase = rng.integers(0, 4, size=positions.shape[0])
+    np.bitwise_or.at(planes, (newbase, w), setb)
+
+
+def make_clustered(n, L, cluster_size=6, max_mut=90, n_partial_cols=2048, seed=0):
+    """Alignment with transmission-cluster structure: n/cluster_size base
+    genomes (mutually ~random, SNP distance ~0.4L), each cluster member an
+    independently mutated copy of its base (5..max_mut substitutions).
+    Within-cluster pair distances land in [~10, ~160]; with a SNP
+    threshold of 200 every within-cluster pair survives and nothing else:
+    survivor fraction = (cluster_size-1)/(n-1) ~ 0.5% at the defaults.
+
+    ``n_partial_cols`` shared columns additionally carry partial IUPAC
+    codes (mixed-strain evidence) in every sample — codes M (A|C) and R
+    (A|G), whose intersections always share the A bit, so the
+    partial-correction gram is exercised without perturbing distances.
+    """
+    from tracs_tpu.ops.packing import PackedAlignment
+
+    n_clusters = (n + cluster_size - 1) // cluster_size
+    bases = _random_planes(n_clusters, L, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    planes = np.empty((n, 4, bases.shape[2]), dtype=np.uint32)
+    for i in range(n):
+        planes[i] = bases[i // cluster_size]
+        k = int(rng.integers(5, max_mut + 1))
+        pos = rng.choice(L, size=k, replace=False)
+        _mutate_inplace(planes[i], pos, rng)
+    if n_partial_cols:
+        cols = rng.choice(L, size=n_partial_cols, replace=False)
+        w = (cols // 32).astype(np.int64)
+        setb = np.uint32(1) << (cols % 32).astype(np.uint32)
+        clear = ~setb
+        for i in range(n):
+            is_m = rng.integers(0, 2, size=n_partial_cols) == 0  # M else R
+            for c in range(4):
+                np.bitwise_and.at(planes[i, c], w, clear)
+            np.bitwise_or.at(planes[i, 0], w, setb)  # A bit in both codes
+            np.bitwise_or.at(planes[i, 1], w[is_m], setb[is_m])
+            np.bitwise_or.at(planes[i, 2], w[~is_m], setb[~is_m])
     return PackedAlignment(
         planes=planes, length=L, names=[str(i) for i in range(n)]
     )
 
 
 def bench_tpu(n=1024, L=1_000_000, iters=3, snp_threshold=200):
-    """Times the production streaming unit: the split-decomposition kernel
-    computing the full n x n distance (and comparable-sites) matrices on
-    device, then the device-side threshold + survivor count — exactly what
-    ``pairsnp_stream`` runs per block pair before downloading only the
-    surviving COO entries.  Only the 8-byte survivor count crosses the
-    host link per sweep (the tunneled host link is ~20 MB/s here and says
-    nothing about the chip; production deployments download survivors,
-    whose volume is data- not kernel-determined)."""
-    from tracs_tpu.ops.pairsnp import (
-        _cached_split,
-        _count_survivors,
-        snp_distance_split_device,
-    )
+    """Times the full production streaming unit (what ``tracs-tpu
+    distance`` runs per row block): device sweep -> device threshold +
+    survivor count -> device COO compaction -> host download of the
+    surviving (row, col, d, nn) entries.  Survivors are ~0.5-1% of pairs
+    by construction, so the sparse-download branch and the NN gathers are
+    inside the timed region.  Variant-site compaction is off: every column
+    of the synthetic alignment is variant (random base genomes), so the
+    scan would find nothing to drop — real alignments are mostly conserved
+    and run 10-100x faster than this worst case (ops/packing.py).
+    """
+    from tracs_tpu.ops.pairsnp import pairsnp_stream
 
-    packed = _make_packed(n, L)
-    sa = _cached_split(packed)
+    packed = make_clustered(n, L)
 
-    def sweep():
-        D, _ = snp_distance_split_device(sa, with_nn=False)
-        return int(_count_survivors(D, snp_threshold, 0, D.shape[1], triangle=True))
+    def consume():
+        pairs = 0
+        for _r0, _r1, _names, rows, _c, _d, _f, _nn in pairsnp_stream(
+            [packed], dist=snp_threshold, compact=False, row_block=n
+        ):
+            pairs += len(rows)
+        return pairs
 
-    sweep()  # upload + compile
+    consume()  # upload + compile
     t0 = time.time()
     for _ in range(iters):
-        survivors = sweep()
+        survivors = consume()
     dt = (time.time() - t0) / iters
     rate = n * n / dt
+    # 5 int8 MACs/site/pair (4 exclusive-base channels + 1 N channel),
+    # full n x n gram (the MXU computes both triangles); 2 ops per MAC
+    mfu = (2.0 * 5 * n * n * L / dt) / INT8_PEAK_OPS
+    frac = survivors / (n * (n - 1) / 2)
     print(
-        f"# split D+threshold: {dt:.3f}s/sweep ({survivors} survivors) "
-        f"-> {rate:,.0f} pairs/s",
+        f"# stream unit: {dt:.3f}s/sweep, {survivors} survivors "
+        f"({100 * frac:.2f}% of pairs) -> {rate:,.0f} pairs/s, "
+        f"MFU {100 * mfu:.1f}% of {INT8_PEAK_OPS / 1e12:.0f} TOPS int8 peak",
         file=sys.stderr,
     )
-    return rate
+    return rate, mfu
 
 
 def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
@@ -122,15 +193,16 @@ def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
 def main():
     n = int(os.environ.get("BENCH_N", "1024"))
     L = int(os.environ.get("BENCH_L", "1000000"))
-    tpu_rate = bench_tpu(n=n, L=L)
+    tpu_rate, mfu = bench_tpu(n=n, L=L)
     cpu_rate = bench_cpu_reference(n=n, L=L)
     print(
         json.dumps(
             {
-                "metric": "pairwise comparisons/sec/chip (all-pairs SNP dist, 1Mb genomes)",
+                "metric": "pairwise comparisons/sec/chip (streamed all-pairs SNP dist + COO, 1Mb genomes)",
                 "value": round(tpu_rate, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
+                "mfu": round(mfu, 4),
             }
         )
     )

@@ -15,7 +15,7 @@ single-device sweep:
    exactly one (dp) device with the single-device kernel, which is what
    makes the streamed CSV byte-identical to the one-chip run regardless of
    mesh shape.  Device-side thresholding/COO compaction then runs on the
-   dp-sharded block (ops/pairsnp.py::_extract_coo) so only survivors cross
+   dp-sharded block (ops/pairsnp.py::_extract_coo_packed) so only survivors cross
    the host link.
 
 2. **sharded_snp_distance** — dense [n, n] output via a triangle ring
