@@ -96,10 +96,12 @@ def make_clustered(n, L, cluster_size=6, max_mut=90, n_partial_cols=2048, seed=0
     n_clusters = (n + cluster_size - 1) // cluster_size
     bases = _random_planes(n_clusters, L, seed=seed)
     rng = np.random.default_rng(seed + 1)
+    max_mut = min(max_mut, max(5, L // 16))  # tiny-genome (test) safety
+    n_partial_cols = min(n_partial_cols, L // 8)
     planes = np.empty((n, 4, bases.shape[2]), dtype=np.uint32)
     for i in range(n):
         planes[i] = bases[i // cluster_size]
-        k = int(rng.integers(5, max_mut + 1))
+        k = int(rng.integers(min(5, max_mut), max_mut + 1))
         pos = rng.choice(L, size=k, replace=False)
         _mutate_inplace(planes[i], pos, rng)
     if n_partial_cols:

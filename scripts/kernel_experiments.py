@@ -124,7 +124,7 @@ def main():
     sys.path.insert(0, ".")
     import bench
 
-    packed = bench._make_packed(n, L)
+    packed = bench.make_clustered(n, L)
     from tracs_tpu.ops.pairsnp import _cached_split, _split_device
 
     sa = _cached_split(packed)

@@ -39,7 +39,7 @@ from tracs_tpu.parallel.allpairs import sharded_snp_distance  # noqa: E402
 from tracs_tpu.parallel.mesh import make_mesh  # noqa: E402
 from tracs_tpu.parallel.multihost import initialize  # noqa: E402
 
-from bench import _make_packed as make_packed  # noqa: E402
+from bench import make_clustered as make_packed  # noqa: E402
 
 
 def main():

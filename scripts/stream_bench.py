@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
-from bench import _make_packed  # noqa: E402
+from bench import make_clustered as _make_packed  # noqa: E402
 
 
 def run_stream(packed, dist, row_block, start_row=0, stop_after=None):
