@@ -24,7 +24,15 @@ def _random_packed(rng, n, L):
 
 
 @requires_8dev
-@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
+@pytest.mark.parametrize(
+    "dp,sp",
+    [
+        (8, 1), (4, 2), (2, 4), (1, 8), (2, 2),
+        # odd dp exercises the triangle schedule's mirror-every-step branch
+        # (allpairs.py: n_dp % 2 == 1) over a device subset
+        (3, 1), (5, 1), (7, 1), (3, 2),
+    ],
+)
 def test_ring_matches_dense(rng, dp, sp):
     packed = _random_packed(rng, 13, 401)  # deliberately non-multiples
     D0, NN0 = snp_distance_dense(packed)
@@ -76,7 +84,7 @@ def test_ring_with_compaction(rng):
 
 
 @requires_8dev
-@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (3, 2), (5, 1)])
 def test_stream_on_mesh_matches_single_device(rng, dp, sp):
     from tracs_tpu.ops.pairsnp import pairsnp
 
