@@ -306,6 +306,28 @@ def _assemble_nn(gn, cnt_a, cnt_b, L):
     return (L - cnt_a[:, None] - cnt_b[None, :] + gn).astype(jnp.int32)
 
 
+@jax.jit
+def _assemble_mxu(g, gq, cnt_a, cnt_b, L):
+    """(D, NN) device blocks from the 15-channel signed gram + quad gram."""
+    D = (g + L).astype(jnp.int32)
+    NN = (L - cnt_a[:, None] - cnt_b[None, :] + gq).astype(jnp.int32)
+    return D, NN
+
+
+@jax.jit
+def _assemble_popcount(matches, nunion, L):
+    return (L - matches).astype(jnp.int32), (L - nunion).astype(jnp.int32)
+
+
+def _cnt_packed_device(p: PackedAlignment) -> jnp.ndarray:
+    """Device-resident (cached) per-sequence N counts of a PackedAlignment."""
+    dev = getattr(p, "_dev_cnt_packed", None)
+    if dev is None:
+        dev = jnp.asarray(np.asarray(p.counts_n()).astype(np.int32))
+        p._dev_cnt_packed = dev
+    return dev
+
+
 def _cnt_device(sa) -> jnp.ndarray:
     dev = getattr(sa, "_dev_cnt", None)
     if dev is None:
@@ -791,6 +813,14 @@ def pairsnp_stream(
     run from that row (the tile-cursor checkpoint story for week-long
     all-pairs sweeps).
 
+    Interruptibility: the reference checks ``PyErr_CheckSignals`` inside
+    its O(n^2) loop (pairsnp.hpp:384-388); here the dispatch quantum is one
+    row block — Ctrl-C is honoured at every block boundary (the per-block
+    ``np.asarray`` download is where Python regains control), so at most
+    one block's device work is lost.  Shrink ``row_block`` for a finer
+    quantum; ``tracs-tpu distance --resume`` persists the block cursor so
+    an interrupted run restarts at the last completed block.
+
     ``mesh`` (a jax.sharding dp x sp Mesh) runs every block sweep across
     the mesh: DB samples sharded over dp, packed words over sp, row blocks
     replicated (parallel/allpairs.py::ShardedSweep).  Thresholding and COO
@@ -846,10 +876,16 @@ def pairsnp_stream(
             from tracs_tpu.parallel.allpairs import ShardedSweep
 
             sweep = ShardedSweep(sa, sb, mesh)
-    elif mesh is not None:
-        import logging
+    else:
+        if mesh is not None:
+            import logging
 
-        logging.info("mesh ignored for cross-check method %r", method)
+            logging.info("mesh ignored for cross-check method %r", method)
+        dev_b_pc = _planes_device(b_k)
+        dev_a_pc = dev_b_pc if b_k is a_k else _planes_device(a_k)
+        if method == "mxu":
+            cnt_a_pc = _cnt_packed_device(a_k)
+            cnt_b_pc = cnt_a_pc if b_k is a_k else _cnt_packed_device(b_k)
 
     cap_hint = [1 << 12]  # speculative extraction capacity, adapted per block
 
@@ -863,15 +899,36 @@ def pairsnp_stream(
         stays on device, and survivor entries are gathered from it inside
         the same fused extraction, so the whole block costs ONE host
         transfer (count + idx + d + nn packed into one array) unless the
-        speculative capacity overflows or the block is dense."""
+        speculative capacity overflows or the block is dense.  The
+        cross-check methods ("mxu", "popcount") share this exact flow —
+        only the device sweep that produces (D, NN) differs."""
         if sweep is not None:
             D_dev, NN_dev = sweep.launch(r0, r1)
-        else:
+        elif method == "split":
             sblk = (
                 sa if (r0 == 0 and r1 == a.n_seqs)
                 else _slice_split_device(sa, r0, r1)
             )
             D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
+        else:
+            da = (
+                dev_a_pc if (r0 == 0 and r1 == a.n_seqs)
+                else dev_a_pc[r0:r1]
+            )
+            L32 = jnp.int32(a_k.length)
+            if method == "mxu":
+                wc, n_chunks = plan_chunks(
+                    (r1 - r0) + b.n_seqs, 16, dev_b_pc.shape[2]
+                )
+                g, gq = _gram_mxu(da, dev_b_pc, wc=wc, n_chunks=n_chunks)
+                D_dev, NN_dev = _assemble_mxu(
+                    g, gq, cnt_a_pc[r0:r1], cnt_b_pc, L32
+                )
+            elif method == "popcount":
+                matches, nunion = _gram_popcount(da, dev_b_pc)
+                D_dev, NN_dev = _assemble_popcount(matches, nunion, L32)
+            else:
+                raise ValueError(f"unknown method {method!r}")
         capacity = _bucket_capacity(cap_hint[0], (r1 - r0) * int(D_dev.shape[1]))
         packed_dev = _extract_coo_packed(
             D_dev, NN_dev, dist, jnp.int32(r0), jnp.int32(b.n_seqs),
@@ -883,40 +940,35 @@ def pairsnp_stream(
         (r0, min(a.n_seqs, r0 + row_block))
         for r0 in range(start_row, a.n_seqs, row_block)
     ]
-    pending = _launch(*spans[0]) if (spans and method == "split") else None
+    pending = _launch(*spans[0]) if spans else None
 
     for k, (r0, r1) in enumerate(spans):
         block_elems = (r1 - r0) * b.n_seqs
         nvals = None
-        if method == "split":
-            D_dev, NN_dev, packed_dev, capacity = pending
-            if k + 1 < len(spans):
-                pending = _launch(*spans[k + 1])
-            NN = None
-            packed = np.asarray(packed_dev)  # the block's ONE host transfer
-            count = int(packed[0])
-            cap_hint[0] = max(1 << 12, 2 * count)
-            nb_pad = int(D_dev.shape[1])
-            if 2 * count <= block_elems:
-                if count <= capacity:
-                    rows_l, cols, dvals, nvals = _unpack_survivors(
-                        packed, capacity, count, nb_pad
-                    )
-                else:
-                    # speculative capacity overflowed: re-extract at full size
-                    rows_l, cols, dvals, nvals = _stream_block_sparse(
-                        D_dev, NN_dev, dist, r0, b.n_seqs, count,
-                        triangle=triangle,
-                    )
-                rows = rows_l + r0
-                D = None
+        D_dev, NN_dev, packed_dev, capacity = pending
+        if k + 1 < len(spans):
+            pending = _launch(*spans[k + 1])
+        D = NN = None
+        packed = np.asarray(packed_dev)  # the block's ONE host transfer
+        count = int(packed[0])
+        cap_hint[0] = max(1 << 12, 2 * count)
+        nb_pad = int(D_dev.shape[1])
+        if 2 * count <= block_elems:
+            if count <= capacity:
+                rows_l, cols, dvals, nvals = _unpack_survivors(
+                    packed, capacity, count, nb_pad
+                )
             else:
-                # mesh-padded blocks carry dead pad columns beyond b.n_seqs
-                D = np.asarray(D_dev)[:, : b.n_seqs]
-                NN = np.asarray(NN_dev)[:, : b.n_seqs]
+                # speculative capacity overflowed: re-extract at full size
+                rows_l, cols, dvals, nvals = _stream_block_sparse(
+                    D_dev, NN_dev, dist, r0, b.n_seqs, count,
+                    triangle=triangle,
+                )
+            rows = rows_l + r0
         else:
-            block = PackedAlignment(a_k.planes[r0:r1], a_k.length, a_k.names[r0:r1])
-            D, NN = snp_distance_dense(block, b_k, method=method)
+            # mesh-padded blocks carry dead pad columns beyond b.n_seqs
+            D = np.asarray(D_dev)[:, : b.n_seqs]
+            NN = np.asarray(NN_dev)[:, : b.n_seqs]
         if D is not None:
             mask = D <= dist
             if triangle:
