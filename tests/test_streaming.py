@@ -38,6 +38,28 @@ def test_stream_matches_oneshot(rng, row_block):
         assert list(w) == list(g)
 
 
+@pytest.mark.parametrize("method", ["mxu", "popcount"])
+def test_stream_crosscheck_methods_match_split(rng, method):
+    """The cross-check methods share the split path's device-side
+    threshold/COO extraction and block pipelining; every emitted value and
+    the emission order must match the production split path at streaming
+    block sizes, under a selective threshold, and in 2-fasta mode."""
+    chars = np.array(list("ACGTNRY"))
+    seqs = ["".join(rng.choice(chars, size=257)) for _ in range(10)]
+    packed = pack_sequences(seqs)
+    want = pairsnp([packed], dist=120, filter=True, method="split")
+    got = _collect(
+        pairsnp_stream([packed], dist=120, filter=True, method=method, row_block=3)
+    )
+    for w, g in zip(want, got):
+        assert list(w) == list(g)
+    pa, pb = pack_sequences(seqs[:6]), pack_sequences(seqs[6:])
+    want = pairsnp([pa, pb], dist=150, method="split")
+    got = _collect(pairsnp_stream([pa, pb], dist=150, method=method, row_block=2))
+    for w, g in zip(want, got):
+        assert list(w) == list(g)
+
+
 def test_stream_two_fasta(rng):
     chars = np.array(list("ACGTN"))
     seqs = ["".join(rng.choice(chars, size=128)) for _ in range(7)]
