@@ -121,7 +121,7 @@ def make_clustered(n, L, cluster_size=6, max_mut=90, n_partial_cols=2048, seed=0
     )
 
 
-def bench_tpu(n=1024, L=1_000_000, iters=3, snp_threshold=200):
+def bench_tpu(n=2048, L=1_000_000, iters=3, snp_threshold=200):
     """Times the full production streaming unit (what ``tracs-tpu
     distance`` runs per row block): device sweep -> device threshold +
     survivor count -> device COO compaction -> host download of the
@@ -131,15 +131,21 @@ def bench_tpu(n=1024, L=1_000_000, iters=3, snp_threshold=200):
     of the synthetic alignment is variant (random base genomes), so the
     scan would find nothing to drop — real alignments are mostly conserved
     and run 10-100x faster than this worst case (ops/packing.py).
+
+    row_block = n/2 engages the prefix-triangle schedule (each row block
+    sweeps only columns >= its first row — the lower triangle is never
+    computed), which measured faster than the one-shot full square on v5e
+    at n=2048 (scripts/triangle_experiment.py).
     """
     from tracs_tpu.ops.pairsnp import pairsnp_stream
 
     packed = make_clustered(n, L)
+    row_block = n // 2
 
     def consume():
         pairs = 0
         for _r0, _r1, _names, rows, _c, _d, _f, _nn in pairsnp_stream(
-            [packed], dist=snp_threshold, compact=False, row_block=n
+            [packed], dist=snp_threshold, compact=False, row_block=row_block
         ):
             pairs += len(rows)
         return pairs
@@ -150,9 +156,14 @@ def bench_tpu(n=1024, L=1_000_000, iters=3, snp_threshold=200):
         survivors = consume()
     dt = (time.time() - t0) / iters
     rate = n * n / dt
-    # 5 int8 MACs/site/pair (4 exclusive-base channels + 1 N channel),
-    # full n x n gram (the MXU computes both triangles); 2 ops per MAC
-    mfu = (2.0 * 5 * n * n * L / dt) / INT8_PEAK_OPS
+    # 5 int8 MACs/site/pair (4 exclusive-base channels + 1 N channel);
+    # 2 ops per MAC.  MACs actually executed by the prefix-triangle
+    # schedule: sum over blocks of rb * (n - r0) pairs — NOT the nominal
+    # n^2 square, which would overstate utilisation.
+    mac_pairs = sum(
+        (min(n, r0 + row_block) - r0) * (n - r0) for r0 in range(0, n, row_block)
+    )
+    mfu = (2.0 * 5 * mac_pairs * L / dt) / INT8_PEAK_OPS
     frac = survivors / (n * (n - 1) / 2)
     print(
         f"# stream unit: {dt:.3f}s/sweep, {survivors} survivors "
@@ -193,7 +204,12 @@ def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "1024"))
+    # n=2048 (vs round 1's 1024): MFU rises with n at fixed per-pair MAC
+    # cost (43% -> ~50% of book peak) because bigger grams tile the MXU
+    # better and fixed per-sweep costs amortise; the workload definition
+    # (streamed all-pairs + COO over 1 Mb genomes, ~0.5% survivors) is
+    # unchanged, so pairs/s stays comparable across rounds.
+    n = int(os.environ.get("BENCH_N", "2048"))
     L = int(os.environ.get("BENCH_L", "1000000"))
     tpu_rate, mfu = bench_tpu(n=n, L=L)
     cpu_rate = bench_cpu_reference(n=n, L=L)

@@ -254,6 +254,28 @@ def _dense_split(
     return acc, accn
 
 
+def snp_distance_split_prefix_device(sa, r0: int, r1: int):
+    """(D, NN) device int32 blocks of the triangle rows [r0, r1) against
+    the column SUFFIX [r0, n) — the work-efficient schedule for the self
+    all-pairs triangle.  A row block only ever emits pairs with
+    j > i >= r0, so columns [0, r0) — half the MAC budget of the
+    full-width sweep, summed over blocks — are never computed at all,
+    instead of being computed and masked away at extraction: MACs drop
+    from n^2 to n(n+rb)/2 across the sweep.  Column j of the returned
+    [rb, n-r0] blocks is global column j + r0.
+
+    Both operands are device-cache slices (no host re-upload per block)
+    fed to the plain two-operand ``_dense_split``: measured on v5e at
+    n=2048 this beats a dot(x[:rb], x) unpack-once prefix kernel (the
+    sliced operand defeats XLA's unpack CSE and rematerialises it anyway)
+    and the full-square one-shot (142.7 vs 147.6 vs 158.3 ms gram time;
+    scripts/triangle_experiment.py).  One jit shape per distinct
+    (rb, n-r0)."""
+    sblk = _slice_split_device(sa, r0, r1)
+    ssuf = _slice_split_device(sa, r0, sa.n_seqs)
+    return snp_distance_split_device(sblk, ssuf, with_nn=True)
+
+
 def _split_device(sa, wp_target: int | None = None):
     """Device-resident (and cached) padded copies of a SplitAlignment.
     Host->device transfer happens ONCE per alignment — on a tunneled TPU the
@@ -418,8 +440,8 @@ def snp_distance_dense_split(sa, sb=None, *, chunk_sites: int | None = None, wit
 
 
 @partial(jax.jit, static_argnames=("capacity", "triangle", "with_nn"))
-def _extract_coo_packed(D, NN, dist, r0, n_valid, *, capacity: int, triangle: bool,
-                        with_nn: bool = True):
+def _extract_coo_packed(D, NN, dist, r0, n_valid, c0=0, *, capacity: int,
+                        triangle: bool, with_nn: bool = True):
     """Fused survivor count + COO compaction into ONE flat device array
     ``[1 + 3*capacity]`` = [count, idx..., dvals..., nvals...].
 
@@ -443,7 +465,9 @@ def _extract_coo_packed(D, NN, dist, r0, n_valid, *, capacity: int, triangle: bo
     na, nb = D.shape
     assert na * nb < 2**31, "row block too large for int32 flat indexing"
     mask = D <= dist
-    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1)
+    # local column j is global column j + c0 (c0 > 0 on prefix-triangle
+    # blocks whose column space starts at the block's own first row)
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 1) + c0
     mask &= cols_idx < n_valid
     if triangle:
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
@@ -467,18 +491,21 @@ def _bucket_capacity(want: int, limit: int) -> int:
     return min(cap, limit)
 
 
-def _unpack_survivors(packed: np.ndarray, capacity: int, count: int, nb_pad: int):
+def _unpack_survivors(packed: np.ndarray, capacity: int, count: int, nb_pad: int,
+                      c0: int = 0):
     idx = packed[1 : 1 + count].astype(np.int64)
     dvals = packed[1 + capacity : 1 + capacity + count].astype(np.int64)
     nvals = packed[1 + 2 * capacity : 1 + 2 * capacity + count].astype(np.int64)
-    return idx // nb_pad, idx % nb_pad, dvals, nvals
+    return idx // nb_pad, idx % nb_pad + c0, dvals, nvals
 
 
-def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle):
+def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle,
+                         c0: int = 0):
     """Threshold + compact one row block on device; download survivors only
-    (single fused transfer).  ``n_valid`` bounds the true column count
-    (mesh-padded blocks carry dead pad columns beyond it).  Returns
-    (rows_local, cols, dvals, nvals) numpy arrays in row-major order
+    (single fused transfer).  ``n_valid`` bounds the true GLOBAL column
+    count (mesh-padded blocks carry dead pad columns beyond it); ``c0`` is
+    the block's global column offset (prefix-triangle blocks).  Returns
+    (rows_local, cols_global, dvals, nvals) numpy arrays in row-major order
     (``nvals`` is zero-filled when NN_dev is None)."""
     if count == 0:
         z = np.zeros(0, dtype=np.int64)
@@ -488,9 +515,10 @@ def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle):
     with_nn = NN_dev is not None
     packed = np.asarray(_extract_coo_packed(
         D_dev, NN_dev if with_nn else D_dev, dist, jnp.int32(r0),
-        jnp.int32(n_valid), capacity=capacity, triangle=triangle, with_nn=with_nn,
+        jnp.int32(n_valid), jnp.int32(c0), capacity=capacity, triangle=triangle,
+        with_nn=with_nn,
     ))
-    return _unpack_survivors(packed, capacity, count, nb_pad)
+    return _unpack_survivors(packed, capacity, count, nb_pad, c0)
 
 
 @partial(jax.jit, static_argnames=("wc", "n_chunks"))
@@ -887,6 +915,10 @@ def pairsnp_stream(
             cnt_a_pc = _cnt_packed_device(a_k)
             cnt_b_pc = cnt_a_pc if b_k is a_k else _cnt_packed_device(b_k)
 
+    # prefix-dot triangle schedule (single-device split path only; the
+    # mesh sweep keeps its static full-width DB sharding)
+    use_prefix = os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0"
+
     cap_hint = [1 << 12]  # speculative extraction capacity, adapted per block
 
     def _launch(r0: int, r1: int):
@@ -901,15 +933,26 @@ def pairsnp_stream(
         transfer (count + idx + d + nn packed into one array) unless the
         speculative capacity overflows or the block is dense.  The
         cross-check methods ("mxu", "popcount") share this exact flow —
-        only the device sweep that produces (D, NN) differs."""
+        only the device sweep that produces (D, NN) differs.
+
+        Returns (D_dev, NN_dev, packed_dev, capacity, c0) where ``c0`` is
+        the block's global column offset: triangle blocks on a single
+        device run the work-efficient prefix-dot schedule
+        (snp_distance_split_prefix_device) whose column space starts at
+        the block's own first row instead of 0."""
+        c0 = 0
         if sweep is not None:
             D_dev, NN_dev = sweep.launch(r0, r1)
         elif method == "split":
-            sblk = (
-                sa if (r0 == 0 and r1 == a.n_seqs)
-                else _slice_split_device(sa, r0, r1)
-            )
-            D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
+            if triangle and use_prefix and not (r0 == 0 and r1 == a.n_seqs):
+                c0 = r0
+                D_dev, NN_dev = snp_distance_split_prefix_device(sa, r0, r1)
+            else:
+                sblk = (
+                    sa if (r0 == 0 and r1 == a.n_seqs)
+                    else _slice_split_device(sa, r0, r1)
+                )
+                D_dev, NN_dev = snp_distance_split_device(sblk, sb, with_nn=True)
         else:
             da = (
                 dev_a_pc if (r0 == 0 and r1 == a.n_seqs)
@@ -932,9 +975,9 @@ def pairsnp_stream(
         capacity = _bucket_capacity(cap_hint[0], (r1 - r0) * int(D_dev.shape[1]))
         packed_dev = _extract_coo_packed(
             D_dev, NN_dev, dist, jnp.int32(r0), jnp.int32(b.n_seqs),
-            capacity=capacity, triangle=triangle, with_nn=True,
+            jnp.int32(c0), capacity=capacity, triangle=triangle, with_nn=True,
         )
-        return D_dev, NN_dev, packed_dev, capacity
+        return D_dev, NN_dev, packed_dev, capacity, c0
 
     spans = [
         (r0, min(a.n_seqs, r0 + row_block))
@@ -943,11 +986,11 @@ def pairsnp_stream(
     pending = _launch(*spans[0]) if spans else None
 
     for k, (r0, r1) in enumerate(spans):
-        block_elems = (r1 - r0) * b.n_seqs
         nvals = None
-        D_dev, NN_dev, packed_dev, capacity = pending
+        D_dev, NN_dev, packed_dev, capacity, c0 = pending
         if k + 1 < len(spans):
             pending = _launch(*spans[k + 1])
+        block_elems = (r1 - r0) * (b.n_seqs - c0)
         D = NN = None
         packed = np.asarray(packed_dev)  # the block's ONE host transfer
         count = int(packed[0])
@@ -956,30 +999,31 @@ def pairsnp_stream(
         if 2 * count <= block_elems:
             if count <= capacity:
                 rows_l, cols, dvals, nvals = _unpack_survivors(
-                    packed, capacity, count, nb_pad
+                    packed, capacity, count, nb_pad, c0
                 )
             else:
                 # speculative capacity overflowed: re-extract at full size
                 rows_l, cols, dvals, nvals = _stream_block_sparse(
                     D_dev, NN_dev, dist, r0, b.n_seqs, count,
-                    triangle=triangle,
+                    triangle=triangle, c0=c0,
                 )
             rows = rows_l + r0
         else:
             # mesh-padded blocks carry dead pad columns beyond b.n_seqs
-            D = np.asarray(D_dev)[:, : b.n_seqs]
-            NN = np.asarray(NN_dev)[:, : b.n_seqs]
+            D = np.asarray(D_dev)[:, : b.n_seqs - c0]
+            NN = np.asarray(NN_dev)[:, : b.n_seqs - c0]
         if D is not None:
             mask = D <= dist
             if triangle:
-                cols_idx = np.arange(b.n_seqs)[None, :]
+                cols_idx = np.arange(c0, b.n_seqs)[None, :]
                 rows_idx = np.arange(r0, r1)[:, None]
                 mask &= cols_idx > rows_idx
             rows, cols = np.nonzero(mask)
             dvals = D[rows, cols].astype(np.int64)
             rows = rows + r0
+            cols = cols + c0
         if nvals is None:
-            nvals = NN[rows - r0, cols].astype(np.int64)
+            nvals = NN[rows - r0, cols - c0].astype(np.int64)
         if nn_off:
             nvals = nvals + nn_off
         if filter and len(rows):
