@@ -19,10 +19,14 @@ MAC cost)
    and Gn over the N masks, each operand's channels unpacked ONCE; see
    ``_dense_split``), plus a 10-channel correction gram over sites gathered
    where any sample holds a 2-/3-bit IUPAC code (rare).  The comparable-
-   sites matrix NN falls out of Gn for free.  ~5 MACs/site.  Measured 26M
-   1Mb-genome pairs/s on one TPU v5e chip at n=1024 (42 ms/sweep,
-   scalar-sync timing; ~30% of the chip's achievable int8 matmul rate at
-   this shape — see ARCHITECTURE.md).
+   sites matrix NN falls out of Gn for free.  ~5 MACs/site.  Self
+   all-pairs row blocks use the prefix-triangle schedule (columns below
+   the diagonal block are never computed; ``snp_distance_split_prefix_
+   device``).  Measured on one TPU v5e chip at n=2048, L=1 Mb: grams at
+   ~220 TOPS effective — above the bare ``lax.dot_general`` int8 rate at
+   the same shape (202 TOPS), i.e. the unpack is fully hidden — and the
+   full streaming unit (sweep + device COO + survivor download) at 24.5M
+   pairs/s (see ARCHITECTURE.md).
 
 2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
    [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
@@ -897,13 +901,25 @@ def pairsnp_stream(
 
     if method == "auto":
         method = _select_method(a_k, b_k)
-    sweep = None
+    sweep = ring = None
     if method == "split":
         sa, sb = _split_pair(a_k, b_k)
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
-            from tracs_tpu.parallel.allpairs import ShardedSweep
+            if (
+                triangle
+                and start_row == 0
+                and os.environ.get("TRACS_TPU_MESH_RING", "1") != "0"
+            ):
+                # work-efficient engine: triangle ring + per-stripe device
+                # COO extraction (half the MACs of per-block full-width
+                # sweeps; one host transfer for all survivors)
+                from tracs_tpu.parallel.allpairs import RingCoo
 
-            sweep = ShardedSweep(sa, sb, mesh)
+                ring = RingCoo(sa, mesh, dist)
+            else:
+                from tracs_tpu.parallel.allpairs import ShardedSweep
+
+                sweep = ShardedSweep(sa, sb, mesh)
     else:
         if mesh is not None:
             import logging
@@ -914,6 +930,19 @@ def pairsnp_stream(
         if method == "mxu":
             cnt_a_pc = _cnt_packed_device(a_k)
             cnt_b_pc = cnt_a_pc if b_k is a_k else _cnt_packed_device(b_k)
+
+    if ring is not None:
+        for r0, r1, rows_l, cols, dvals, nvals in ring.stripes():
+            rows = rows_l + r0
+            if nn_off:
+                nvals = nvals + nn_off
+            if filter and len(rows):
+                mism = mismatch_words(a_k, b_k, rows, cols)
+                filt = filter_recomb_batch(mism, dvals, length, position_map=pos_map)
+            else:
+                filt = np.zeros(len(rows), dtype=np.int64)
+            yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
+        return
 
     # prefix-dot triangle schedule (single-device split path only; the
     # mesh sweep keeps its static full-width DB sharding)

@@ -180,8 +180,131 @@ class ShardedSweep:
 
 
 # ---------------------------------------------------------------------------
-# dense path: triangle ring over resident sample blocks
+# streaming triangle ring: work-efficient mesh self-all-pairs with on-device
+# COO extraction (the mesh analogue of the single-device prefix schedule)
 # ---------------------------------------------------------------------------
+
+
+def _ring_coo_local(excl, nmask, part, cnt_blk, cnt_all, *, n_dp, wc, n_chunks,
+                    L, dist, n_valid, capacity, B):
+    """shard_map body: triangle-ring grams for this device's resident row
+    stripe, assembled to (D, NN) and COO-compacted on device.  Returns
+    (D [B, n_pad], NN [B, n_pad], packed [1, 1+3*capacity]) — D/NN stay
+    device-resident for the rare overflow/dense-stripe fallbacks; only the
+    packed survivors need cross the host link."""
+    from tracs_tpu.ops.pairsnp import _extract_coo_packed
+
+    m_rows, n_rows = _ring_allpairs_local(
+        excl, nmask, part, n_dp=n_dp, wc=wc, n_chunks=n_chunks
+    )
+    my = jax.lax.axis_index("dp")
+    r0 = (my * B).astype(jnp.int32)
+    L32 = jnp.int32(L)
+    D = (L32 - (m_rows + cnt_blk[:, None] + cnt_all[None, :])).astype(jnp.int32)
+    NN = (L32 - cnt_blk[:, None] - cnt_all[None, :] + n_rows).astype(jnp.int32)
+    packed = _extract_coo_packed(
+        D, NN, jnp.int32(dist), r0, jnp.int32(n_valid), jnp.int32(0),
+        capacity=capacity, triangle=True, with_nn=True,
+    )
+    return D, NN, packed[None, :]
+
+
+@partial(jax.jit, static_argnames=(
+    "n_dp", "wc", "n_chunks", "L", "dist", "n_valid", "capacity", "B", "mesh"))
+def _ring_coo(excl, nmask, part, cnt_blk, cnt_all, *, n_dp, wc, n_chunks, L,
+              dist, n_valid, capacity, B, mesh):
+    fn = jax.shard_map(
+        partial(_ring_coo_local, n_dp=n_dp, wc=wc, n_chunks=n_chunks, L=L,
+                dist=dist, n_valid=n_valid, capacity=capacity, B=B),
+        mesh=mesh,
+        in_specs=(P("dp", None, "sp"), P("dp", "sp"), P("dp", None, "sp"),
+                  P("dp"), P()),
+        out_specs=(P("dp", None), P("dp", None), P("dp", None)),
+    )
+    return fn(excl, nmask, part, cnt_blk, cnt_all)
+
+
+class RingCoo:
+    """Work-efficient mesh engine for streamed SELF all-pairs: each device
+    holds one resident row stripe, the triangle ring meets every block pair
+    once (n_dp//2 + 1 rotations — half the MACs of sweeping every row block
+    against the full dp-sharded DB), and thresholding + COO compaction run
+    per stripe on its owning device.  One host transfer fetches every
+    stripe's packed survivors; emission order (row-major, j > i) and all
+    values are identical to the single-device run.
+
+    Used by pairsnp_stream(mesh=...) for triangle runs from row 0; the
+    per-block ShardedSweep remains for 2-fasta rectangles and mid-matrix
+    resume.  Matches reference src/pairsnp.hpp:380-432 (OpenMP row loop).
+    """
+
+    def __init__(self, sa, mesh: Mesh, dist: int, capacity: int = 1 << 14):
+        self.sa = sa
+        self.mesh = mesh
+        self.dist = int(dist)
+        n_dp = int(mesh.shape["dp"])
+        n_sp = int(mesh.shape["sp"])
+        n = sa.n_seqs
+        self.n = n
+        self.B = pad_to(max(n, 1), n_dp) // n_dp
+        n_pad = self.B * n_dp
+        self.n_pad = n_pad
+        W = sa.excl.shape[2]
+        w_pad = pad_to(max(W, 1), 8 * n_sp)
+        wp_pad = pad_to(max(sa.partial.shape[2], 1), n_sp)
+
+        excl = _pad_rows_words(sa.excl, n_pad, w_pad)
+        nmask = _pad_rows_words(sa.nmask, n_pad, w_pad)
+        part = _pad_rows_words(sa.partial, n_pad, wp_pad)
+        cnt = np.zeros(n_pad, np.int32)
+        cnt[:n] = sa.cnt_n
+
+        self._ex = _put(excl, NamedSharding(mesh, P("dp", None, "sp")))
+        self._nm = _put(nmask, NamedSharding(mesh, P("dp", "sp")))
+        self._pt = _put(part, NamedSharding(mesh, P("dp", None, "sp")))
+        self._cnt_blk = _put(cnt, NamedSharding(mesh, P("dp")))
+        self._cnt_all = _put(cnt, NamedSharding(mesh, P()))
+        self._wc, self._n_chunks = plan_chunks(2 * self.B, 5, w_pad // n_sp)
+        # power-of-two capacity bounds recompiles across runs
+        cap = 1 << max(12, int(np.ceil(np.log2(max(2, capacity)))))
+        self.capacity = min(cap, self.B * n_pad)
+
+    def stripes(self):
+        """Yield (r0, r1, rows_local, cols, dvals, nvals) per dp stripe in
+        ascending row order — the same per-block contract as the
+        single-device streaming loop."""
+        from tracs_tpu.ops.pairsnp import (
+            _stream_block_sparse,
+            _unpack_survivors,
+        )
+
+        D_all, NN_all, packed_dev = _ring_coo(
+            self._ex, self._nm, self._pt, self._cnt_blk, self._cnt_all,
+            n_dp=int(self.mesh.shape["dp"]), wc=self._wc,
+            n_chunks=self._n_chunks, L=self.sa.length, dist=self.dist,
+            n_valid=self.n, capacity=self.capacity, B=self.B, mesh=self.mesh,
+        )
+        packed_h = np.asarray(packed_dev)  # ONE transfer for all stripes
+        for d in range(int(self.mesh.shape["dp"])):
+            r0 = d * self.B
+            if r0 >= self.n:
+                break
+            r1 = min(self.n, r0 + self.B)
+            count = int(packed_h[d, 0])
+            stripe_elems = (r1 - r0) * (self.n - r0)
+            if count <= self.capacity and 2 * count <= max(stripe_elems, 2):
+                rows_l, cols, dvals, nvals = _unpack_survivors(
+                    packed_h[d], self.capacity, count, self.n_pad
+                )
+            else:
+                # overflow (rare: capacity adapts only across runs) or a
+                # dense stripe: re-extract at full capacity from the
+                # device-resident stripe
+                rows_l, cols, dvals, nvals = _stream_block_sparse(
+                    D_all[r0 : r0 + self.B], NN_all[r0 : r0 + self.B],
+                    self.dist, r0, self.n, count, triangle=True,
+                )
+            yield r0, r1, rows_l, cols, dvals, nvals
 
 
 def _ring_allpairs_local(excl, nmask, part, *, n_dp: int, wc: int, n_chunks: int):
