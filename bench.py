@@ -121,7 +121,7 @@ def make_clustered(n, L, cluster_size=6, max_mut=90, n_partial_cols=2048, seed=0
     )
 
 
-def bench_tpu(n=2048, L=1_000_000, iters=3, snp_threshold=200):
+def bench_tpu(n=4096, L=1_000_000, iters=3, snp_threshold=200):
     """Times the full production streaming unit (what ``tracs-tpu
     distance`` runs per row block): device sweep -> device threshold +
     survivor count -> device COO compaction -> host download of the
@@ -132,15 +132,22 @@ def bench_tpu(n=2048, L=1_000_000, iters=3, snp_threshold=200):
     scan would find nothing to drop — real alignments are mostly conserved
     and run 10-100x faster than this worst case (ops/packing.py).
 
-    row_block = n/2 engages the prefix-triangle schedule (each row block
+    row_block < n engages the prefix-triangle schedule (each row block
     sweeps only columns >= its first row — the lower triangle is never
     computed), which measured faster than the one-shot full square on v5e
-    at n=2048 (scripts/triangle_experiment.py).
+    (scripts/triangle_experiment.py); ~1024-row blocks are the sweet spot
+    (29.4M pairs/s at n=4096 vs 27.1M at rb=2048).
     """
     from tracs_tpu.ops.pairsnp import pairsnp_stream
 
-    packed = make_clustered(n, L)
-    row_block = n // 2
+    # scale cluster size so within-cluster (surviving) pairs stay ~0.5% of
+    # all pairs at any n: (cs-1)/(n-1) ~ 0.005
+    cluster_size = max(6, round(0.005 * n) + 1)
+    packed = make_clustered(n, L, cluster_size=cluster_size)
+    # rb ~1024 is the measured sweet spot: smaller blocks cut prefix MACs
+    # but narrow gram outputs tank the achievable dot rate (85 TOPS at
+    # 1024-wide vs 260 at 4096-wide) and add per-block round trips
+    row_block = int(os.environ.get("BENCH_RB", str(max(1024, min(2048, n // 4)))))
 
     def consume():
         pairs = 0
@@ -204,12 +211,13 @@ def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
 
 
 def main():
-    # n=2048 (vs round 1's 1024): MFU rises with n at fixed per-pair MAC
-    # cost (43% -> ~50% of book peak) because bigger grams tile the MXU
-    # better and fixed per-sweep costs amortise; the workload definition
-    # (streamed all-pairs + COO over 1 Mb genomes, ~0.5% survivors) is
-    # unchanged, so pairs/s stays comparable across rounds.
-    n = int(os.environ.get("BENCH_N", "2048"))
+    # n=4096 (vs round 1's 1024): the achievable dot rate rises with gram
+    # output size (85 / 202 / 260 TOPS at 1024/2048/4096-wide int8 dots,
+    # measured) and the prefix-triangle schedule amortises better at
+    # larger n/row_block; the workload definition (streamed all-pairs +
+    # COO over 1 Mb genomes, ~0.5% survivors) is unchanged, so pairs/s
+    # stays comparable across rounds.
+    n = int(os.environ.get("BENCH_N", "4096"))
     L = int(os.environ.get("BENCH_L", "1000000"))
     tpu_rate, mfu = bench_tpu(n=n, L=L)
     cpu_rate = bench_cpu_reference(n=n, L=L)

@@ -38,6 +38,19 @@ def test_stream_matches_oneshot(rng, row_block):
         assert list(w) == list(g)
 
 
+def test_dense_symmetric_blocks_match_oneshot(rng):
+    """Row-blocked self-comparison uses prefix-triangle blocks + transpose
+    mirroring; the result must equal the one-shot full matrix exactly."""
+    from tracs_tpu.ops.pairsnp import snp_distance_dense
+
+    chars = np.array(list("ACGTNRY"))
+    seqs = ["".join(rng.choice(chars, size=300)) for _ in range(37)]
+    p = pack_sequences(seqs)
+    D1, N1 = snp_distance_dense(p, row_block=8)
+    D2, N2 = snp_distance_dense(p, row_block=4096)
+    assert np.array_equal(D1, D2) and np.array_equal(N1, N2)
+
+
 @pytest.mark.parametrize("method", ["mxu", "popcount"])
 def test_stream_crosscheck_methods_match_split(rng, method):
     """The cross-check methods share the split path's device-side

@@ -25,8 +25,8 @@ MAC cost)
    device``).  Measured on one TPU v5e chip at n=2048, L=1 Mb: grams at
    ~220 TOPS effective — above the bare ``lax.dot_general`` int8 rate at
    the same shape (202 TOPS), i.e. the unpack is fully hidden — and the
-   full streaming unit (sweep + device COO + survivor download) at 24.5M
-   pairs/s (see ARCHITECTURE.md).
+   full streaming unit (sweep + device COO + survivor download) at 29.4M
+   pairs/s at n=4096, rb=1024 (see ARCHITECTURE.md).
 
 2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
    [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
@@ -739,11 +739,22 @@ def snp_distance_dense(
         method = _select_method(a, b)
 
     if method == "split":
-        from tracs_tpu.ops.packing import split_alignment
-
         sa, sb = _split_pair(a, b)
         D = np.empty((na, nb), dtype=np.int32)
         NN = np.empty((na, nb), dtype=np.int32)
+        if b is a and na > row_block and chunk_sites is None:
+            # self-comparison: D and NN are symmetric, so compute only the
+            # prefix-triangle blocks (cols >= the block's first row) and
+            # mirror the transpose — half the device work
+            for r0 in range(0, na, row_block):
+                r1 = min(na, r0 + row_block)
+                Dd, Nd = snp_distance_split_prefix_device(sa, r0, r1)
+                Dh, Nh = np.asarray(Dd), np.asarray(Nd)
+                D[r0:r1, r0:] = Dh
+                D[r0:, r0:r1] = Dh.T
+                NN[r0:r1, r0:] = Nh
+                NN[r0:, r0:r1] = Nh.T
+            return D, NN
         for r0 in range(0, na, row_block):
             r1 = min(na, r0 + row_block)
             sblk = sa if (r0 == 0 and r1 == na) else _slice_split(sa, r0, r1)
