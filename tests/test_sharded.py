@@ -125,6 +125,27 @@ def test_stream_on_mesh_with_filter(rng):
 
 
 @requires_8dev
+def test_stream_on_mesh_resume_mid_matrix(rng):
+    """start_row > 0 on a mesh (the --resume path) routes through the
+    per-block ShardedSweep and must emit exactly the single-device tail."""
+    from tracs_tpu.ops.pairsnp import pairsnp_stream
+
+    def collect(stream):
+        out = [[], [], [], [], []]
+        for _r0, _r1, _nm, r, c, d, f, nn in stream:
+            out[0] += list(r); out[1] += list(c); out[2] += list(d)
+            out[3] += list(f); out[4] += list(nn)
+        return out
+
+    packed = pack_sequences(_random_seqs(rng, 11, 350))
+    base = collect(pairsnp_stream([packed], dist=150, row_block=3, start_row=6))
+    on_mesh = collect(pairsnp_stream(
+        [packed], dist=150, row_block=3, start_row=6, mesh=make_mesh(4, 2)
+    ))
+    assert base == on_mesh
+
+
+@requires_8dev
 def test_distance_stage_csv_identical_on_mesh(rng, tmp_path):
     # the VERDICT 'done' criterion: the *stage* produces a byte-identical
     # CSV on a dp x sp mesh vs single-device
