@@ -312,12 +312,12 @@ def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30)
         return False
     # Measured regime on the v5e chip (see scripts/kernel_experiments.py):
     # since the two-gram rewrite of _dense_split (unpack-once + dot(x, x)
-    # self-comparison, one chunk for 1 Mb genomes) the XLA path wins at
-    # EVERY size — e.g. n=256, L=1M: 12 ms vs the fused kernel's 75 ms; at
-    # n=1024 it runs the sweep in 40 ms (26M pairs/s, ~30% of the chip's
-    # achievable int8 matmul rate at this shape), while the fused kernel
-    # re-unpacks operand tiles per (i, j) grid step and tops out lower.
-    # The kernel remains available via TRACS_TPU_SPLIT_IMPL=pallas.
+    # self-comparison) the XLA path wins at EVERY size — e.g. n=256,
+    # L=1M: 12 ms vs the fused kernel's 75 ms, and its grams run ABOVE
+    # the bare lax.dot_general int8 rate at gram shapes (the unpack is
+    # fully hidden; see ARCHITECTURE.md roofline) — while the fused
+    # kernel re-unpacks operand tiles per (i, j) grid step and tops out
+    # lower.  It remains available via TRACS_TPU_SPLIT_IMPL=pallas.
     del na, nb, wpad
     return False
 
