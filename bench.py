@@ -164,12 +164,14 @@ def bench_tpu(n=4096, L=1_000_000, iters=3, snp_threshold=200):
     dt = (time.time() - t0) / iters
     rate = n * n / dt
     # 5 int8 MACs/site/pair (4 exclusive-base channels + 1 N channel);
-    # 2 ops per MAC.  MACs actually executed by the prefix-triangle
-    # schedule: sum over blocks of rb * (n - r0) pairs — NOT the nominal
-    # n^2 square, which would overstate utilisation.
-    mac_pairs = sum(
-        (min(n, r0 + row_block) - r0) * (n - r0) for r0 in range(0, n, row_block)
-    )
+    # 2 ops per MAC.  MACs actually executed by the schedule in effect —
+    # NOT the nominal n^2 square, which would overstate utilisation;
+    # schedule_mac_pairs reads the same prefix/bucketing logic the kernel
+    # runs (incl. TRACS_TPU_TRIANGLE=0 falling back to full-width blocks).
+    from tracs_tpu.ops.pairsnp import schedule_mac_pairs
+
+    triangle = os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0"
+    mac_pairs = schedule_mac_pairs(n, row_block, triangle=triangle)
     mfu = (2.0 * 5 * mac_pairs * L / dt) / INT8_PEAK_OPS
     frac = survivors / (n * (n - 1) / 2)
     print(

@@ -98,6 +98,35 @@ def test_stream_on_mesh_matches_single_device(rng, dp, sp):
 
 
 @requires_8dev
+def test_ring_hbm_budget_falls_back_to_sweep(rng, monkeypatch):
+    """Runs whose per-device stripe tensors exceed TRACS_TPU_RING_BYTES must
+    route through the block-streamed ShardedSweep (ADVICE r2: RingCoo's
+    stripes are O(n^2/n_dp) HBM regardless of --row-block) with identical
+    output."""
+    import tracs_tpu.parallel.allpairs as ap
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    mesh = make_mesh(4, 2)
+    assert ap.RingCoo.stripe_bytes(13, mesh) == 4 * 4 * 16 * 4
+    seqs = _random_seqs(rng, 13, 401)
+    base = pairsnp([pack_sequences(seqs)], dist=120, row_block=5)
+
+    made_ring = []
+    real_init = ap.RingCoo.__init__
+    monkeypatch.setattr(
+        ap.RingCoo, "__init__",
+        lambda self, *a, **k: (made_ring.append(1), real_init(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(ap, "_RING_STRIPE_BYTES", 1)  # force over-budget
+    over = pairsnp(
+        [pack_sequences(seqs)], dist=120, row_block=5, mesh=mesh
+    )
+    assert not made_ring  # fell back to ShardedSweep
+    for x, y in zip(base, over):
+        assert list(x) == list(y)
+
+
+@requires_8dev
 def test_stream_on_mesh_rectangle(rng):
     # 2-fasta query-vs-db block sweep on the mesh, incl. IUPAC partials
     from tracs_tpu.ops.pairsnp import pairsnp

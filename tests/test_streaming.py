@@ -38,6 +38,35 @@ def test_stream_matches_oneshot(rng, row_block):
         assert list(w) == list(g)
 
 
+def test_prefix_shape_bucketing(rng):
+    """Column-suffix widths are bucketed to repeating jit shapes
+    (TRACS_TPU_PREFIX_SHAPES): c0 stays <= r0, widths come from a bounded
+    shape set, and a streamed run whose blocks hit c0 > 0 equals the
+    one-shot emission exactly."""
+    from tracs_tpu.ops.pairsnp import prefix_col_start, schedule_mac_pairs
+
+    n = 600
+    widths = set()
+    for r0 in range(0, n, 64):
+        c0 = prefix_col_start(n, r0)
+        assert 0 <= c0 <= r0
+        widths.add(n - c0)
+    assert len(widths) <= 24
+    # executed MACs: between the ideal triangle and the full square
+    macs = schedule_mac_pairs(n, 64)
+    ideal = sum((min(n, r0 + 64) - r0) * (n - r0) for r0 in range(0, n, 64))
+    assert ideal <= macs <= n * n
+    assert schedule_mac_pairs(n, 64, triangle=False) == n * n
+
+    chars = np.array(list("ACGTN"))
+    seqs = ["".join(rng.choice(chars, size=64)) for _ in range(n)]
+    packed = pack_sequences(seqs)
+    want = pairsnp([packed], dist=40)
+    got = _collect(pairsnp_stream([packed], dist=40, row_block=64))
+    for w, g in zip(want, got):
+        assert list(w) == list(g)
+
+
 def test_dense_symmetric_blocks_match_oneshot(rng):
     """Row-blocked self-comparison uses prefix-triangle blocks + transpose
     mirroring; the result must equal the one-shot full matrix exactly."""

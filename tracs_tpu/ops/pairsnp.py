@@ -258,26 +258,64 @@ def _dense_split(
     return acc, accn
 
 
+# distinct column-suffix shapes per self all-pairs sweep: suffix widths are
+# bucketed so jit programs repeat across blocks (each distinct shape costs a
+# full XLA compile — at n=100k, rb=1024 exact suffixes would mean ~98
+# compiles, which rivals sweep time; bucketing caps that at ~this many for
+# ~2% extra masked MACs)
+_PREFIX_SHAPE_BUDGET = int(os.environ.get("TRACS_TPU_PREFIX_SHAPES", "24"))
+
+
+def prefix_col_start(n: int, r0: int) -> int:
+    """Global first column of the prefix-triangle block starting at row r0.
+
+    The ideal suffix is columns [r0, n); the returned start c0 <= r0 extends
+    it down to a bucketed width (multiples of ~n/_PREFIX_SHAPE_BUDGET,
+    lane-aligned) so block shapes — and hence jit programs — repeat across
+    the sweep.  The extra columns [c0, r0) hold pairs with j < i that the
+    COO extraction's triangle mask already discards."""
+    q = 256 * max(1, -(-n // (256 * _PREFIX_SHAPE_BUDGET)))
+    suffix = -(-(n - r0) // q) * q
+    return max(0, n - suffix)
+
+
+def schedule_mac_pairs(n: int, row_block: int, *, triangle: bool = True) -> int:
+    """Pair-MACs actually executed by the streaming schedule — the honest
+    MFU denominator (bench.py).  Prefix-triangle blocks sweep only their
+    bucketed column suffix; with the triangle schedule off every block
+    sweeps the full width."""
+    total = 0
+    for r0 in range(0, n, row_block):
+        rb = min(n, r0 + row_block) - r0
+        c0 = prefix_col_start(n, r0) if (triangle and r0 > 0) else 0
+        total += rb * (n - c0)
+    return total
+
+
 def snp_distance_split_prefix_device(sa, r0: int, r1: int):
-    """(D, NN) device int32 blocks of the triangle rows [r0, r1) against
-    the column SUFFIX [r0, n) — the work-efficient schedule for the self
-    all-pairs triangle.  A row block only ever emits pairs with
-    j > i >= r0, so columns [0, r0) — half the MAC budget of the
-    full-width sweep, summed over blocks — are never computed at all,
-    instead of being computed and masked away at extraction: MACs drop
-    from n^2 to n(n+rb)/2 across the sweep.  Column j of the returned
-    [rb, n-r0] blocks is global column j + r0.
+    """(D, NN, c0) — device int32 blocks of the triangle rows [r0, r1)
+    against the column suffix [c0, n), c0 = prefix_col_start(n, r0) <= r0 —
+    the work-efficient schedule for the self all-pairs triangle.  A row
+    block only ever emits pairs with j > i >= r0, so columns [0, c0) —
+    roughly half the MAC budget of the full-width sweep, summed over
+    blocks — are never computed at all, instead of being computed and
+    masked away at extraction: MACs drop from n^2 to ~n(n+rb)/2 across the
+    sweep.  Column j of the returned [rb, n-c0] blocks is global column
+    j + c0; callers must mask j <= i (the extraction's triangle mask does).
 
     Both operands are device-cache slices (no host re-upload per block)
     fed to the plain two-operand ``_dense_split``: measured on v5e at
     n=2048 this beats a dot(x[:rb], x) unpack-once prefix kernel (the
     sliced operand defeats XLA's unpack CSE and rematerialises it anyway)
     and the full-square one-shot (142.7 vs 147.6 vs 158.3 ms gram time;
-    scripts/triangle_experiment.py).  One jit shape per distinct
-    (rb, n-r0)."""
+    scripts/triangle_experiment.py).  Suffix widths are bucketed
+    (prefix_col_start) so jit shapes repeat across blocks instead of
+    compiling one program per block."""
+    c0 = prefix_col_start(sa.n_seqs, r0)
     sblk = _slice_split_device(sa, r0, r1)
-    ssuf = _slice_split_device(sa, r0, sa.n_seqs)
-    return snp_distance_split_device(sblk, ssuf, with_nn=True)
+    ssuf = _slice_split_device(sa, c0, sa.n_seqs)
+    D, NN = snp_distance_split_device(sblk, ssuf, with_nn=True)
+    return D, NN, c0
 
 
 def _split_device(sa, wp_target: int | None = None):
@@ -748,8 +786,9 @@ def snp_distance_dense(
             # mirror the transpose — half the device work
             for r0 in range(0, na, row_block):
                 r1 = min(na, r0 + row_block)
-                Dd, Nd = snp_distance_split_prefix_device(sa, r0, r1)
-                Dh, Nh = np.asarray(Dd), np.asarray(Nd)
+                Dd, Nd, c0 = snp_distance_split_prefix_device(sa, r0, r1)
+                Dh = np.asarray(Dd)[:, r0 - c0 :]
+                Nh = np.asarray(Nd)[:, r0 - c0 :]
                 D[r0:r1, r0:] = Dh
                 D[r0:, r0:r1] = Dh.T
                 NN[r0:r1, r0:] = Nh
@@ -857,12 +896,19 @@ def pairsnp_stream(
     all-pairs sweeps).
 
     Interruptibility: the reference checks ``PyErr_CheckSignals`` inside
-    its O(n^2) loop (pairsnp.hpp:384-388); here the dispatch quantum is one
-    row block — Ctrl-C is honoured at every block boundary (the per-block
-    ``np.asarray`` download is where Python regains control), so at most
-    one block's device work is lost.  Shrink ``row_block`` for a finer
-    quantum; ``tracs-tpu distance --resume`` persists the block cursor so
-    an interrupted run restarts at the last completed block.
+    its O(n^2) loop (pairsnp.hpp:384-388); here, on the single-device and
+    ShardedSweep paths, the dispatch quantum is one row block — Ctrl-C is
+    honoured at every block boundary (the per-block ``np.asarray`` download
+    is where Python regains control), so at most one block's device work is
+    lost.  Shrink ``row_block`` for a finer quantum; ``tracs-tpu distance
+    --resume`` persists the block cursor so an interrupted run restarts at
+    the last completed block.  EXCEPTION: the mesh triangle-ring engine
+    (RingCoo — self all-pairs from row 0 that fit its HBM budget) computes
+    the whole matrix in one dispatch; an interrupt during that dispatch
+    loses the sweep and resume restarts the MSA from row 0 (once stripes
+    start yielding, the cursor advances per stripe and resume continues
+    via ShardedSweep).  Set TRACS_TPU_MESH_RING=0 to trade the ring's
+    speed for per-block interruptibility on a mesh.
 
     ``mesh`` (a jax.sharding dp x sp Mesh) runs every block sweep across
     the mesh: DB samples sharded over dp, packed words over sp, row blocks
@@ -916,20 +962,22 @@ def pairsnp_stream(
     if method == "split":
         sa, sb = _split_pair(a_k, b_k)
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            from tracs_tpu.parallel.allpairs import RingCoo, ShardedSweep
+
             if (
                 triangle
                 and start_row == 0
                 and os.environ.get("TRACS_TPU_MESH_RING", "1") != "0"
+                and RingCoo.fits(sa.n_seqs, mesh)
             ):
                 # work-efficient engine: triangle ring + per-stripe device
                 # COO extraction (half the MACs of per-block full-width
-                # sweeps; one host transfer for all survivors)
-                from tracs_tpu.parallel.allpairs import RingCoo
-
+                # sweeps; one host transfer for all survivors).  Over the
+                # HBM stripe budget (RingCoo.fits) the block-streamed
+                # ShardedSweep takes over — it holds only one row block of
+                # output at a time and checkpoints per block.
                 ring = RingCoo(sa, mesh, dist)
             else:
-                from tracs_tpu.parallel.allpairs import ShardedSweep
-
                 sweep = ShardedSweep(sa, sb, mesh)
     else:
         if mesh is not None:
@@ -985,8 +1033,7 @@ def pairsnp_stream(
             D_dev, NN_dev = sweep.launch(r0, r1)
         elif method == "split":
             if triangle and use_prefix and not (r0 == 0 and r1 == a.n_seqs):
-                c0 = r0
-                D_dev, NN_dev = snp_distance_split_prefix_device(sa, r0, r1)
+                D_dev, NN_dev, c0 = snp_distance_split_prefix_device(sa, r0, r1)
             else:
                 sblk = (
                     sa if (r0 == 0 and r1 == a.n_seqs)
@@ -1095,19 +1142,27 @@ def pairsnp(
     parity; parallelism comes from the device mesh instead.
 
     Returns (rows, cols, distances, seq_names, filt_distances,
-    n_compared_sites) as Python lists, exactly like the reference binding.
-    The unfiltered filt column is zero-filled (the reference's
-    combine_vectors default-fill, pairsnp.hpp:451-452).
+    n_compared_sites) — Python lists, exactly like the reference binding,
+    up to 2^22 surviving pairs; above that the five numeric columns come
+    back as int64 numpy arrays instead (len/iteration/indexing-compatible,
+    but ~25x smaller than 50M-element PyObject lists — a 10k-sample
+    default-threshold call would otherwise build ~5 GB of lists; stream
+    with ``pairsnp_stream`` for runs that large).  The unfiltered filt
+    column is zero-filled (the reference's combine_vectors default-fill,
+    pairsnp.hpp:451-452).
     """
-    all_rows, all_cols, all_d, all_f, all_nn = [], [], [], [], []
+    chunks = []  # per-block (rows, cols, d, filt, nn) numpy tuples
     names = None
     for _r0, _r1, names, rows, cols, dvals, filt, nvals in pairsnp_stream(
         fasta, dist=dist, filter=filter, method=method, row_block=row_block,
         compact=compact, mesh=mesh,
     ):
-        all_rows += list(rows)
-        all_cols += list(cols)
-        all_d += list(dvals)
-        all_f += list(filt)
-        all_nn += list(nvals)
-    return all_rows, all_cols, all_d, list(names), all_f, all_nn
+        chunks.append((rows, cols, dvals, filt, nvals))
+    cat = [
+        np.concatenate([np.asarray(c[k], dtype=np.int64) for c in chunks])
+        if chunks else np.zeros(0, dtype=np.int64)
+        for k in range(5)
+    ]
+    if len(cat[0]) <= 1 << 22:
+        cat = [list(col) for col in cat]
+    return cat[0], cat[1], cat[2], list(names), cat[3], cat[4]

@@ -224,6 +224,13 @@ def _ring_coo(excl, nmask, part, cnt_blk, cnt_all, *, n_dp, wc, n_chunks, L,
     return fn(excl, nmask, part, cnt_blk, cnt_all)
 
 
+# per-device byte budget for RingCoo's stripe tensors (m/n grams + D/NN,
+# each [B, n_pad] int32).  Above this the engine would risk HBM OOM on runs
+# that stream fine block-by-block, so pairsnp_stream falls back to
+# ShardedSweep (which holds only one row block of output at a time).
+_RING_STRIPE_BYTES = int(os.environ.get("TRACS_TPU_RING_BYTES", 4 << 30))
+
+
 class RingCoo:
     """Work-efficient mesh engine for streamed SELF all-pairs: each device
     holds one resident row stripe, the triangle ring meets every block pair
@@ -233,12 +240,30 @@ class RingCoo:
     stripe's packed survivors; emission order (row-major, j > i) and all
     values are identical to the single-device run.
 
-    Used by pairsnp_stream(mesh=...) for triangle runs from row 0; the
-    per-block ShardedSweep remains for 2-fasta rectangles and mid-matrix
-    resume.  Matches reference src/pairsnp.hpp:380-432 (OpenMP row loop).
+    Used by pairsnp_stream(mesh=...) for triangle runs from row 0 whose
+    stripe tensors fit the HBM budget (``fits``); the per-block
+    ShardedSweep remains for 2-fasta rectangles, mid-matrix resume and
+    over-budget runs.  NOTE the whole matrix is ONE jit dispatch: device
+    HBM holds [B, n_pad] int32 stripes per device regardless of
+    --row-block, and an interrupt during the dispatch loses the entire
+    sweep (the cursor only advances once stripes start yielding) —
+    that is the price of the halved MACs + single transfer.  Matches
+    reference src/pairsnp.hpp:380-432 (OpenMP row loop).
     """
 
-    def __init__(self, sa, mesh: Mesh, dist: int, capacity: int = 1 << 14):
+    @staticmethod
+    def stripe_bytes(n: int, mesh: Mesh) -> int:
+        """Peak per-device bytes of the stripe tensors: m/n gram rows plus
+        the assembled D/NN, all [B, n_pad] int32 (4 arrays)."""
+        n_dp = int(mesh.shape["dp"])
+        B = pad_to(max(n, 1), n_dp) // n_dp
+        return 4 * B * (B * n_dp) * 4
+
+    @classmethod
+    def fits(cls, n: int, mesh: Mesh) -> bool:
+        return cls.stripe_bytes(n, mesh) <= _RING_STRIPE_BYTES
+
+    def __init__(self, sa, mesh: Mesh, dist: int, capacity: int | None = None):
         self.sa = sa
         self.mesh = mesh
         self.dist = int(dist)
@@ -265,6 +290,11 @@ class RingCoo:
         self._cnt_blk = _put(cnt, NamedSharding(mesh, P("dp")))
         self._cnt_all = _put(cnt, NamedSharding(mesh, P()))
         self._wc, self._n_chunks = plan_chunks(2 * self.B, 5, w_pad // n_sp)
+        if capacity is None:
+            # default scales with the stripe: ~1/64 survivor density before
+            # the full-capacity re-extraction fallback kicks in, bounded so
+            # the always-transferred packed array stays small
+            capacity = max(1 << 14, (self.B * n_pad) // 64)
         # power-of-two capacity bounds recompiles across runs
         cap = 1 << max(12, int(np.ceil(np.log2(max(2, capacity)))))
         self.capacity = min(cap, self.B * n_pad)
@@ -297,9 +327,10 @@ class RingCoo:
                     packed_h[d], self.capacity, count, self.n_pad
                 )
             else:
-                # overflow (rare: capacity adapts only across runs) or a
-                # dense stripe: re-extract at full capacity from the
-                # device-resident stripe
+                # capacity overflow (default capacity covers ~1/64 survivor
+                # density; nothing adapts within a run — the whole matrix is
+                # one dispatch) or a dense stripe: re-extract at full
+                # capacity from the device-resident stripe
                 rows_l, cols, dvals, nvals = _stream_block_sparse(
                     D_all[r0 : r0 + self.B], NN_all[r0 : r0 + self.B],
                     self.dist, r0, self.n, count, triangle=True,

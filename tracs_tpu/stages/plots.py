@@ -114,30 +114,24 @@ def plot_heatmap(distance_file, outfile, column="SNP distance", threshold=None,
 
 
 def read_pileup(inputfile, contig_length, require_both_strands=True, keep_contigs="All"):
-    """Per-contig [L, 4] allele-frequency matrices (reference plots.py:182-212)."""
-    npos = {"A": 0, "C": 1, "G": 2, "T": 3}
-    all_counts = {}
-    for contig in contig_length:
-        all_counts[contig] = np.zeros((contig_length[contig], 4), dtype=float)
+    """Per-contig [L, 4] allele-frequency matrices.
 
-    with open_file(inputfile) as infile:
-        for line in infile:
-            line = line.strip().split()
-            if ("All" in keep_contigs) or (line[0] in keep_contigs):
-                pos = int(line[1]) - 1
-                nucs = line[-2].split(",")
-                ncounts = line[-1].split(":")[1:]
-                counts = np.zeros(4, dtype=float)
-                for nuc, c1, c2 in zip(nucs, ncounts[0].split(","), ncounts[1].split(",")):
-                    c1 = int(c1)
-                    c2 = int(c2)
-                    if (nuc not in npos) or (line[2] not in npos):
-                        continue
-                    if require_both_strands and (c1 == 0 or c2 == 0):
-                        c1 = c2 = 0
-                    counts[npos[nuc]] = c1 + c2
-                all_counts[line[0]][pos, :] = counts / max(1, np.sum(counts))
-    return all_counts
+    Same output contract as reference plots.py:182-212 (rows are per-site
+    A/C/G/T counts normalised by max(1, site depth); uncovered sites stay
+    all-zero; non-ACGT alleles or reference bases contribute nothing), but
+    the parse itself goes through the shared pileup reader — the native C++
+    codec with its Python fallback (io/pileup.py) — instead of a second
+    per-line Python loop."""
+    from tracs_tpu.io.pileup import parse_pileup
+
+    wanted = {
+        c: int(n) for c, n in contig_length.items()
+        if ("All" in keep_contigs) or (c in keep_contigs)
+    }
+    counts = parse_pileup(inputfile, wanted, require_both_strands)
+    freqs = counts / np.maximum(1.0, counts.sum(axis=1, keepdims=True))
+    split_at = np.cumsum([n for n in wanted.values()])[:-1]
+    return dict(zip(wanted, np.split(freqs, split_at)))
 
 
 def _contig_lengths(count_file_A, count_file_B, keep_contigs):

@@ -1,31 +1,124 @@
-"""``threshold`` stage: estimate a SNP threshold separating recent
+"""``threshold`` stage: estimate a SNP cutoff separating recent
 transmission from background diversity.
 
-Model parity with reference tracs/threshold.py: a negative binomial is
-MLE-fitted (Nelder-Mead) to the "distant" pair distances, then a
-Poisson+NB mixture to the "close" pairs; the reported threshold is
-``poisson.ppf(0.95, lambda) * 3`` (threshold.py:103).
+Statistical contract (reference tracs/threshold.py:56-107): the "distant"
+pair distances are modelled as NegativeBinomial(r, p) fitted by
+Nelder-Mead MLE; the "close" pairs as a two-component mixture
+q * Poisson(lambda) + (1-q) * NB(r, p) with (r, p) frozen from the distant
+fit; the reported cutoff is ``3 * Poisson_ppf(0.95; lambda)``.
 
-Deviations (documented):
-* the reference only logs the result and never writes the output file despite
-  accepting ``-o`` (threshold.py:100-107); here the fitted parameters and
-  threshold are also written to the output file.
-* the reference passes the *positive* mixture log-likelihood to a minimiser
-  (threshold.py:67,98), which finds the worst-fitting parameters; here the
-  negative log-likelihood is minimised so the mixture fit is an actual MLE.
+Deviations (deliberate, documented):
+* the reference accepts ``-o`` but never writes the file
+  (threshold.py:100-107); here the fitted parameters and the cutoff land
+  in a ``parameter,value`` CSV.
+* the reference hands the *positive* mixture log-likelihood to a
+  minimiser (threshold.py:67,98), converging on the worst-fitting
+  parameters; here the negative log-likelihood is minimised so the
+  mixture fit is an actual MLE, with out-of-domain parameters rejected
+  as +inf instead of silently producing NaN likelihoods.
 """
 
 from __future__ import annotations
 
 import argparse
+import csv
 import logging
+import math
 import os
+from dataclasses import dataclass, fields
 
 import numpy as np
-import pandas as pd
-import scipy.optimize as optimize
-from scipy import stats
-from scipy.special import logsumexp
+from scipy import optimize, stats
+
+from tracs_tpu.utils import setup_logging
+
+
+@dataclass
+class ThresholdFit:
+    """Fitted generative model of close/distant pair SNP distances."""
+
+    r: float  # NB shape, background (distant) pairs
+    p: float  # NB success prob, background pairs
+    q: float  # mixture weight of the Poisson (transmission) component
+    lambd: float  # Poisson mean of the transmission component
+
+    @property
+    def snp_threshold(self) -> float:
+        # 95th percentile of the transmission component, tripled for slack
+        # (reference threshold.py:103)
+        return float(stats.poisson.ppf(0.95, mu=self.lambd) * 3)
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write("parameter,value\n")
+            for f in fields(self):
+                fh.write(f"{f.name.replace('lambd', 'lambda')},{getattr(self, f.name)}\n")
+            fh.write(f"snp_threshold,{self.snp_threshold}\n")
+
+
+def _read_snp_column(path: str, column: int) -> np.ndarray:
+    """One numeric column of a headered CSV (header row skipped)."""
+    with open(path, newline="") as fh:
+        reader = csv.reader(fh)
+        next(reader, None)
+        vals = [float(row[column]) for row in reader if row]
+    return np.asarray(vals)
+
+
+def _nelder_mead_mle(neg_ll, x0) -> np.ndarray:
+    return optimize.minimize(neg_ll, np.asarray(x0, dtype=float), method="nelder-mead").x
+
+
+def fit_background(distances: np.ndarray) -> tuple[float, float]:
+    """MLE NegativeBinomial(r, p) for the distant (background) pairs."""
+
+    def neg_ll(params):
+        r, p = params
+        if not (r > 0 and 0 < p < 1):
+            return math.inf
+        return -stats.nbinom.logpmf(distances, r, p).sum()
+
+    r, p = _nelder_mead_mle(neg_ll, [100.0, 0.5])
+    return float(r), float(p)
+
+
+def fit_mixture(distances: np.ndarray, r: float, p: float) -> tuple[float, float]:
+    """MLE of q * Poisson(lambda) + (1-q) * NB(r, p) over the close pairs,
+    with the background component frozen."""
+    bg_logpmf = stats.nbinom.logpmf(distances, r, p)  # data-constant per fit
+
+    def neg_ll(params):
+        q, lambd = params
+        if not (0 < q < 1 and lambd > 0):
+            return math.inf
+        per_pair = np.logaddexp(
+            math.log(q) + stats.poisson.logpmf(distances, mu=lambd),
+            math.log1p(-q) + bg_logpmf,
+        )
+        return -per_pair.sum()
+
+    q, lambd = _nelder_mead_mle(neg_ll, [0.5, 1.0])
+    return float(q), float(lambd)
+
+
+def estimate_thresholds(close_file, distant_file, outfile, column) -> float:
+    logging.info("Loading distances...")
+    close = _read_snp_column(close_file, column)
+    distant = _read_snp_column(distant_file, column)
+
+    logging.info("Fitting distribution...")
+    fit = ThresholdFit(*fit_background(distant), *(np.nan, np.nan))
+    fit.q, fit.lambd = fit_mixture(close, fit.r, fit.p)
+
+    logging.info(
+        "Fitted parameters - r:%s, p:%s, q:%s, lambda:%s",
+        fit.r, fit.p, fit.q, fit.lambd,
+    )
+    logging.info("SNP threshold: %s", fit.snp_threshold)
+
+    if outfile:
+        fit.write(outfile)
+    return fit.snp_threshold
 
 
 def threshold_parser(parser):
@@ -33,104 +126,40 @@ def threshold_parser(parser):
 
     io_opts = parser.add_argument_group("Input/output")
     io_opts.add_argument(
-        "--close", dest="close_file", required=True,
+        "--close", dest="close_file", required=True, type=os.path.abspath,
         help="path to csv file with distances between isolates mostly linked "
              "by recent transmission",
-        type=os.path.abspath,
     )
     io_opts.add_argument(
-        "--distant", dest="distant_file", required=True,
+        "--distant", dest="distant_file", required=True, type=os.path.abspath,
         help="path to csv file with distances between isolates not related "
              "by recent transmission",
-        type=os.path.abspath,
     )
     io_opts.add_argument(
         "-o", "--output", dest="output_file", required=True,
-        help="location of an output file", type=os.path.abspath,
+        type=os.path.abspath, help="location of an output file",
     )
     io_opts.add_argument(
-        "--column", dest="column", default=1,
-        help="index of column containing SNP distances (default=1)", type=int,
+        "--column", dest="column", default=1, type=int,
+        help="index of column containing SNP distances (default=1)",
     )
 
     parser.set_defaults(func=threshold)
     return parser
 
 
-def negbinom_ll(params, data):
-    r, p = params
-    if r <= 0 or p <= 0 or p >= 1:
-        return np.inf
-    return -np.sum(stats.nbinom.logpmf(data, r, p))
-
-
-def mixture(params, data, r, p):
-    """Mixture log-likelihood of Poisson(lambd) with weight q and NB(r, p)."""
-    q, lambd = params
-    if q <= 0 or q >= 1 or lambd <= 0:
-        return -np.inf
-    logpmf_poisson = np.log(q) + stats.poisson.logpmf(data, mu=lambd)
-    logpmf_nbinom = np.log(1 - q) + stats.nbinom.logpmf(data, r, p)
-    return sum(logsumexp([logpmf_poisson, logpmf_nbinom], axis=0))
-
-
-def optimizer_NM(func, x0):
-    result = optimize.minimize(func, x0, method="nelder-mead")
-    return result.x
-
-
-def estimate_thresholds(close_file, distant_file, outfile, column):
-    logging.info("Loading distances...")
-    df = pd.read_csv(close_file)
-    close_distances = df.iloc[:, column].astype(float).values
-
-    df = pd.read_csv(distant_file)
-    far_distances = df.iloc[:, column].astype(float).values
-
-    logging.info("Fitting distribution...")
-
-    initial_params = np.array([100, 0.5])
-    far_fitted_params = optimizer_NM(
-        lambda params: negbinom_ll(params, far_distances), initial_params
-    )
-    r, p = far_fitted_params
-
-    initial_params = np.array([0.5, 1])
-    # minimise the NEGATIVE log-likelihood (reference bug fix, see docstring)
-    mix_fitted_params = optimizer_NM(
-        lambda params: -mixture(params, close_distances, r, p), initial_params
-    )
-    q, lambd = mix_fitted_params
-
-    logging.info("Fitted parameters - r:%s, p:%s, q:%s, lambda:%s", r, p, q, lambd)
-
-    snp_threshold = stats.poisson.ppf(0.95, mu=lambd) * 3
-    logging.info("SNP threshold: %s", snp_threshold)
-
-    if outfile:
-        with open(outfile, "w") as fh:
-            fh.write("parameter,value\n")
-            fh.write(f"r,{r}\np,{p}\nq,{q}\nlambda,{lambd}\n")
-            fh.write(f"snp_threshold,{snp_threshold}\n")
-    return snp_threshold
-
-
 def threshold(args):
-    logging.basicConfig(
-        format="%(asctime)s - %(message)s",
-        datefmt="%d-%b-%y %H:%M:%S",
-        level=logging.INFO,
+    setup_logging(getattr(args, "loglevel", "INFO"))
+    estimate_thresholds(
+        args.close_file, args.distant_file, args.output_file, args.column
     )
-    estimate_thresholds(args.close_file, args.distant_file, args.output_file, args.column)
-    return
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser = threshold_parser(parser)
+    threshold_parser(parser)
     args = parser.parse_args()
     args.func(args)
-    return
 
 
 if __name__ == "__main__":
