@@ -126,7 +126,7 @@ def test_extended_regime_bound_guard():
     import jax
     import jax.numpy as jnp
     from tracs_tpu.models.transcluster import (
-        _CPU, _sum_cap, _trans_dist_batch, _K_CAP, trans_dist,
+        _cpu, _sum_cap, _trans_dist_batch, _K_CAP, trans_dist,
     )
 
     p0, eK = trans_dist([27], [7.3101], 29.903, 73)
@@ -134,7 +134,7 @@ def test_extended_regime_bound_guard():
 
     cap_p = _sum_cap(29.903 * 7.3101, 27)
     cap_i = _sum_cap(7.3101 * (29.903 + 73), 27 + _K_CAP)
-    with jax.default_device(_CPU):
+    with jax.default_device(_cpu()):
         p0_m, eK_m = _trans_dist_batch(
             jnp.asarray([27.0]), jnp.asarray([7.3101]),
             lamb=29.903, beta=73.0, threshold_Ek=1e-6,

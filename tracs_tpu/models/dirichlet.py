@@ -31,7 +31,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_CPU = jax.devices("cpu")[0]
+def _cpu():
+    """The f64 host backend device — resolved lazily so importing the
+    package never initialises XLA backends (jax.distributed.initialize
+    must run first in multi-process programs), and LOCAL so the pinned
+    jits stay process-local under a multi-process runtime
+    (jax.devices()[0] would be another process's device on rank > 0)."""
+    return jax.local_devices(backend="cpu")[0]
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +116,7 @@ def find_dirichlet_priors(counts, max_iter=1000, tol=1e-5, method="FPI", error_f
         data = np.pad(data, ((0, bucket - rows), (0, 0)))
 
     meth = "LOO" if method == "LOO" else "FPI"
-    with jax.default_device(_CPU):
+    with jax.default_device(_cpu()):
         alpha = _fit_loop(
             jnp.asarray(data), jnp.asarray(alpha0), jnp.float64(tol),
             method=meth, max_iter=max_iter,
@@ -160,7 +166,7 @@ def calculate_posteriors(counts, alphas, keep, expected):
     descending internally); returns float64 [R, K]."""
     counts = np.asarray(counts, dtype=np.float64)
     alphas = np.sort(np.asarray(alphas, dtype=np.float64))[::-1].copy()
-    with jax.default_device(_CPU):
+    with jax.default_device(_cpu()):
         out = _posteriors_kernel(
             jnp.asarray(counts), jnp.asarray(alphas), bool(keep), float(expected)
         )

@@ -47,7 +47,13 @@ import jax.numpy as jnp
 
 SECONDS_IN_YEAR = 31556952.0  # reference tracs/transcluster.py:5
 
-_CPU = jax.devices("cpu")[0]
+def _cpu():
+    """The f64 host backend device — resolved lazily so importing the
+    package never initialises XLA backends (jax.distributed.initialize
+    must run first in multi-process programs), and LOCAL so the pinned
+    jits stay process-local under a multi-process runtime
+    (jax.devices()[0] would be another process's device on rank > 0)."""
+    return jax.local_devices(backend="cpu")[0]
 
 _K_CAP = 10000  # reference transcluster.hpp:207: while (... && k<10000)
 
@@ -415,7 +421,7 @@ def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
     upper = np.empty(m)
     eK_s = np.empty(m)
 
-    with jax.default_device(_CPU):
+    with jax.default_device(_cpu()):
         # ---- phase 1: loop-invariant seeds, chunked with adaptive caps
         for s in range(0, m, _SEED_CHUNK):
             e = min(m, s + _SEED_CHUNK)

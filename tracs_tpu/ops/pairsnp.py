@@ -60,6 +60,7 @@ from tracs_tpu.ops.packing import (
     pack_fasta,
     popcount_words,
 )
+from tracs_tpu.parallel.mesh import to_host
 
 # channel subset masks in plane-bit order (bit0=A..bit3=T), |S| ascending
 _SUBSETS = [s for s in range(1, 16)]
@@ -541,6 +542,25 @@ def _unpack_survivors(packed: np.ndarray, capacity: int, count: int, nb_pad: int
     return idx // nb_pad, idx % nb_pad + c0, dvals, nvals
 
 
+def _host_block_sparse(D, NN, dist, r0, n_valid, *, triangle, c0: int = 0):
+    """Host-numpy analogue of _stream_block_sparse for dense blocks already
+    gathered to the host (multi-process stripes, dense fallbacks).  Same
+    row-major emission contract."""
+    mask = D <= dist
+    cols_idx = np.arange(D.shape[1], dtype=np.int64) + c0
+    mask &= cols_idx[None, :] < n_valid
+    if triangle:
+        rows_idx = np.arange(D.shape[0], dtype=np.int64) + r0
+        mask &= cols_idx[None, :] > rows_idx[:, None]
+    rows_l, cols_l = np.nonzero(mask)
+    return (
+        rows_l.astype(np.int64),
+        cols_l.astype(np.int64) + c0,
+        D[rows_l, cols_l].astype(np.int64),
+        NN[rows_l, cols_l].astype(np.int64),
+    )
+
+
 def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle,
                          c0: int = 0):
     """Threshold + compact one row block on device; download survivors only
@@ -555,7 +575,7 @@ def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle,
     nb_pad = int(D_dev.shape[1])
     capacity = _bucket_capacity(count, int(D_dev.shape[0]) * nb_pad)
     with_nn = NN_dev is not None
-    packed = np.asarray(_extract_coo_packed(
+    packed = to_host(_extract_coo_packed(
         D_dev, NN_dev if with_nn else D_dev, dist, jnp.int32(r0),
         jnp.int32(n_valid), jnp.int32(c0), capacity=capacity, triangle=triangle,
         with_nn=with_nn,
@@ -1079,7 +1099,7 @@ def pairsnp_stream(
             pending = _launch(*spans[k + 1])
         block_elems = (r1 - r0) * (b.n_seqs - c0)
         D = NN = None
-        packed = np.asarray(packed_dev)  # the block's ONE host transfer
+        packed = to_host(packed_dev)  # the block's ONE host transfer
         count = int(packed[0])
         cap_hint[0] = max(1 << 12, 2 * count)
         nb_pad = int(D_dev.shape[1])
@@ -1097,8 +1117,8 @@ def pairsnp_stream(
             rows = rows_l + r0
         else:
             # mesh-padded blocks carry dead pad columns beyond b.n_seqs
-            D = np.asarray(D_dev)[:, : b.n_seqs - c0]
-            NN = np.asarray(NN_dev)[:, : b.n_seqs - c0]
+            D = to_host(D_dev)[:, : b.n_seqs - c0]
+            NN = to_host(NN_dev)[:, : b.n_seqs - c0]
         if D is not None:
             mask = D <= dist
             if triangle:

@@ -59,7 +59,7 @@ from tracs_tpu.ops.pairsnp import (
     _split_pair,
     plan_chunks,
 )
-from tracs_tpu.parallel.mesh import make_mesh, pad_to
+from tracs_tpu.parallel.mesh import make_mesh, pad_to, to_host
 
 
 def _put(arr: np.ndarray, sharding: NamedSharding):
@@ -304,6 +304,7 @@ class RingCoo:
         ascending row order — the same per-block contract as the
         single-device streaming loop."""
         from tracs_tpu.ops.pairsnp import (
+            _host_block_sparse,
             _stream_block_sparse,
             _unpack_survivors,
         )
@@ -314,7 +315,8 @@ class RingCoo:
             n_chunks=self._n_chunks, L=self.sa.length, dist=self.dist,
             n_valid=self.n, capacity=self.capacity, B=self.B, mesh=self.mesh,
         )
-        packed_h = np.asarray(packed_dev)  # ONE transfer for all stripes
+        packed_h = to_host(packed_dev)  # ONE transfer for all stripes
+        D_h = NN_h = None
         for d in range(int(self.mesh.shape["dp"])):
             r0 = d * self.B
             if r0 >= self.n:
@@ -329,12 +331,22 @@ class RingCoo:
             else:
                 # capacity overflow (default capacity covers ~1/64 survivor
                 # density; nothing adapts within a run — the whole matrix is
-                # one dispatch) or a dense stripe: re-extract at full
-                # capacity from the device-resident stripe
-                rows_l, cols, dvals, nvals = _stream_block_sparse(
-                    D_all[r0 : r0 + self.B], NN_all[r0 : r0 + self.B],
-                    self.dist, r0, self.n, count, triangle=True,
-                )
+                # one dispatch) or a dense stripe: extract from the
+                # device-resident stripe, or — multi-process, where slicing
+                # a cross-process stripe eagerly is not addressable — from
+                # a one-time host gather of the dense matrices
+                if D_all.is_fully_addressable:
+                    rows_l, cols, dvals, nvals = _stream_block_sparse(
+                        D_all[r0 : r0 + self.B], NN_all[r0 : r0 + self.B],
+                        self.dist, r0, self.n, count, triangle=True,
+                    )
+                else:
+                    if D_h is None:
+                        D_h, NN_h = to_host(D_all), to_host(NN_all)
+                    rows_l, cols, dvals, nvals = _host_block_sparse(
+                        D_h[r0 : r0 + self.B], NN_h[r0 : r0 + self.B],
+                        self.dist, r0, self.n, triangle=True,
+                    )
             yield r0, r1, rows_l, cols, dvals, nvals
 
 
@@ -453,8 +465,8 @@ def sharded_snp_distance(
     m, gn = _ring_allpairs(
         ex_dev, nm_dev, pt_dev, n_dp=n_dp, wc=wc, n_chunks=n_chunks, mesh=mesh
     )
-    m = np.asarray(m)[:n, :n]
-    gn = np.asarray(gn)[:n, :n]
+    m = to_host(m)[:n, :n]
+    gn = to_host(gn)[:n, :n]
 
     cnt = sa.cnt_n[:, None] + sa.cnt_n[None, :]
     D = (L - (m + cnt)).astype(np.int32)

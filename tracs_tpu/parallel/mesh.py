@@ -55,14 +55,35 @@ def pad_to(x: int, mult: int) -> int:
     return int(math.ceil(x / mult) * mult)
 
 
+def to_host(x) -> np.ndarray:
+    """Device array -> host numpy, multi-process safe.
+
+    A jax.Array whose shards live on other processes' devices is not fully
+    addressable, so ``np.asarray`` raises; gather it to every host first
+    (ICI/DCN allgather via multihost_utils).  Fully-addressable arrays —
+    everything in a single-process run, and replicated arrays in any run —
+    take the plain zero-copy download."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
     """Resolve a ``--mesh`` CLI / TRACS_TPU_MESH spec to a device mesh.
 
     * ``"auto"`` (or None): all visible devices, dp-major
       (``best_mesh_shape``); returns None on a single device so callers
-      keep the plain single-chip path.
+      keep the plain single-chip path.  Under multi-process it stays on
+      this process's own chips (SPMD safety — see below).
     * ``"off"``: force single-device.
-    * ``"DPxSP"`` (e.g. ``"4x2"``): explicit shape.
+    * ``"DPxSP"`` (e.g. ``"4x2"``): explicit shape over the global device
+      list (spans processes under jax.distributed).
+    * ``"global"``: all GLOBAL devices, dp-major — the sanctioned
+      cross-host spec for SPMD launches where every process runs the same
+      program (tests/test_multihost.py runs it under real multi-process
+      jax.distributed).
     """
     import os
 
@@ -71,6 +92,11 @@ def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
     spec = spec.strip().lower()
     if spec == "off":
         return None
+    if spec == "global":
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        return make_mesh(*best_mesh_shape(n))
     if spec == "auto":
         if jax.process_count() > 1:
             # SPMD safety: a global mesh is only valid when EVERY process

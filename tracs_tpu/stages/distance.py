@@ -108,9 +108,11 @@ def distance_parser(parser):
         "--mesh", dest="mesh", type=str, default=None,
         help="Device mesh for the all-pairs sweep: 'auto' (default: all "
              "visible TPU chips, data-parallel over DB sample shards), "
-             "'off' (single device), or an explicit 'DPxSP' shape, e.g. "
-             "'4x2' = 4 sample shards x 2 genome-position shards. Output "
-             "is identical for every shape. Env: TRACS_TPU_MESH.",
+             "'off' (single device), an explicit 'DPxSP' shape, e.g. "
+             "'4x2' = 4 sample shards x 2 genome-position shards, or "
+             "'global' (all devices of every process under an SPMD "
+             "jax.distributed launch). Output is identical for every "
+             "shape. Env: TRACS_TPU_MESH.",
     )
 
     parser.add_argument(
@@ -148,6 +150,16 @@ def distance(args):
         )
         if not getattr(args, "row_block", None):
             args.row_block = 1024
+
+    # SPMD multi-process: every process runs the same program (required
+    # for the collectives), but only one may own the output path — the
+    # others write their (byte-identical) copy next to it, which doubles
+    # as a cross-host determinism check
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() > 0:
+        args.output_file = f"{args.output_file}.proc{jax.process_index()}"
+        logging.info("process %d writes %s", jax.process_index(), args.output_file)
 
     if getattr(args, "row_block", None):
         return _distance_streaming(args, dates)

@@ -234,15 +234,20 @@ def pipe(args):
 
     import jax
 
-    if jax.process_count() > 1:
+    multi = jax.process_count() > 1
+    if multi:
         # all hosts must finish ingest before the global phases; the
         # combine/distance/cluster tail then runs on process 0 (its own
-        # chips — run `tracs-tpu distance --mesh DPxSP` under an SPMD
-        # launcher for a cross-host all-pairs sweep)
+        # chips — run `tracs-tpu distance --mesh DPxSP/global` under an
+        # SPMD launcher for a cross-host all-pairs sweep)
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("tracs_tpu_pipe_align_done")
         if jax.process_index() != 0:
+            # stay alive until process 0 finishes the tail: exiting now
+            # would trip the jax.distributed shutdown barrier while other
+            # processes still run (tests/test_multihost.py exercises this)
+            multihost_utils.sync_global_devices("tracs_tpu_pipe_done")
             return
 
     args.output_dir = outputdir
@@ -273,6 +278,11 @@ def pipe(args):
     args.distance_file = outputdir + "transmission_distances.csv"
     args.output_file = outputdir + "transmission_clusters.csv"
     cluster(args)
+
+    if multi:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tracs_tpu_pipe_done")
     return
 
 
