@@ -310,6 +310,14 @@ def _distance_streaming(args, dates):
             cursor = json.load(fh)
         mode = "a"
         logging.info("Resuming from %s", cursor)
+        # SIGKILL-anywhere safety: the cursor snapshots the flushed byte
+        # offset AFTER each block, so anything past it (a partial line from
+        # a kill mid-write, or a complete block whose cursor update never
+        # landed) is discarded and re-emitted — the resumed CSV is byte-
+        # identical to an uninterrupted run
+        if "bytes" in cursor and os.path.exists(args.output_file):
+            with open(args.output_file, "r+") as fh:
+                fh.truncate(cursor["bytes"])
 
     cache = TransClusterCache(args.clock_rate, args.trans_rate, args.precision)
     reftime = _date.fromisoformat("1970-01-01")
@@ -398,8 +406,13 @@ def _distance_streaming(args, dates):
                             ]
                             outfile.write("\n".join(lines) + "\n")
                     outfile.flush()
-                    with open(cursor_path, "w") as fh:
-                        json.dump({"msa_index": mi, "next_row": r1}, fh)
+                    # atomic cursor update (a kill mid-json would otherwise
+                    # leave an unreadable cursor)
+                    state = {"msa_index": mi, "next_row": r1,
+                             "bytes": outfile.tell()}
+                    with open(cursor_path + ".tmp", "w") as fh:
+                        json.dump(state, fh)
+                    os.replace(cursor_path + ".tmp", cursor_path)
                 log_rate((r1 - r0) * (len(names) - r0))
             cursor = {"msa_index": mi + 1, "next_row": 0}
     if os.path.exists(cursor_path):
