@@ -334,33 +334,6 @@ def _split_device(sa, wp_target: int | None = None):
     return cache
 
 
-_SPLIT_IMPL = os.environ.get("TRACS_TPU_SPLIT_IMPL", "auto")
-
-
-def _use_pallas_split(na: int = 1 << 30, nb: int = 1 << 30, wpad: int = 1 << 30) -> bool:
-    """The fused Pallas kernel (ops/pallas_kernels.split_gram_pallas) keeps
-    packed words in VMEM and unpacks in-register, so it is MXU-bound where
-    the XLA path is HBM-bound on materialised int8 channels.  Default: on
-    for the TPU backend on LARGE problems only — the Mosaic compile costs
-    minutes on this platform's remote-compile service (amortised by the
-    persistent compilation cache, but shapes vary per dataset), so small
-    sweeps stay on the XLA path."""
-    if _SPLIT_IMPL == "pallas":
-        return True
-    if _SPLIT_IMPL == "xla":
-        return False
-    # Measured regime on the v5e chip (see scripts/kernel_experiments.py):
-    # since the two-gram rewrite of _dense_split (unpack-once + dot(x, x)
-    # self-comparison) the XLA path wins at EVERY size — e.g. n=256,
-    # L=1M: 12 ms vs the fused kernel's 75 ms, and its grams run ABOVE
-    # the bare lax.dot_general int8 rate at gram shapes (the unpack is
-    # fully hidden; see ARCHITECTURE.md roofline) — while the fused
-    # kernel re-unpacks operand tiles per (i, j) grid step and tops out
-    # lower.  It remains available via TRACS_TPU_SPLIT_IMPL=pallas.
-    del na, nb, wpad
-    return False
-
-
 @jax.jit
 def _assemble_d(m, gp, cnt_a, cnt_b, L):
     return (L - (m + gp + cnt_a[:, None] + cnt_b[None, :])).astype(jnp.int32)
@@ -427,24 +400,26 @@ def snp_distance_split_device(sa, sb=None, *, chunk_sites: int | None = None, wi
         Wpad_b, eb, nb_mask, pb = _split_device(sb)
         assert Wpad_b == Wpad
 
-    if _use_pallas_split(sa.n_seqs, sb.n_seqs, Wpad):
-        from tracs_tpu.ops.pallas_kernels import split_gram_pallas
-
-        m, gn = split_gram_pallas(ea, na_mask, eb, nb_mask, as_device=True)
+    # the XLA two-gram path is the only production kernel: the fused Pallas
+    # split kernel measured slower at EVERY size (it re-unpacks operand
+    # tiles per (i, j) grid step, so unpack cost scales with TI+TJ per
+    # TI*TJ of MXU work, topping out below the XLA path, whose grams run
+    # above the bare dot_general int8 rate — the unpack fully hidden; see
+    # ARCHITECTURE.md).  split_gram_pallas survives as an independent
+    # bit-equality cross-check in tests/test_pallas_kernels.py.
+    same = sb is sa
+    rows = sa.n_seqs if same else sa.n_seqs + sb.n_seqs
+    if chunk_sites is None:
+        wc, n_chunks = plan_chunks(rows, 5, Wpad)
     else:
-        same = sb is sa
-        rows = sa.n_seqs if same else sa.n_seqs + sb.n_seqs
-        if chunk_sites is None:
-            wc, n_chunks = plan_chunks(rows, 5, Wpad)
-        else:
-            wc = max(8, min(chunk_sites // 32, Wpad))
-            if wc > 256:
-                wc = (wc // 256) * 256
-            n_chunks = math.ceil(Wpad / wc)
+        wc = max(8, min(chunk_sites // 32, Wpad))
+        if wc > 256:
+            wc = (wc // 256) * 256
+        n_chunks = math.ceil(Wpad / wc)
 
-        m, gn = _dense_split(
-            ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, same=same,
-        )
+    m, gn = _dense_split(
+        ea, na_mask, eb, nb_mask, wc=wc, n_chunks=n_chunks, same=same,
+    )
 
     if sa.n_partial or sb.n_partial:
         if sb is not sa and not (
