@@ -235,9 +235,12 @@ def _dense_split(
 
     acc = jnp.zeros((na, nb), jnp.int32)
     accn = jnp.zeros((na, nb), jnp.int32)
+    period = int(os.environ.get("TRACS_TPU_BARRIER_PERIOD", "1"))
     for c in range(n_chunks):
-        if c:
-            # serialise chunks to bound peak HBM (see _gram_mxu)
+        if c and c % period == 0:
+            # serialise chunk groups to bound peak HBM (see _gram_mxu);
+            # within a group XLA may overlap one chunk's unpack with the
+            # previous chunk's dot at `period` x the chunk temp budget
             excl_a, n_a, excl_b, n_b, acc, accn = jax.lax.optimization_barrier(
                 (excl_a, n_a, excl_b, n_b, acc, accn)
             )
@@ -471,15 +474,17 @@ def _extract_coo_packed(D, NN, dist, r0, n_valid, c0=0, *, capacity: int,
     bigger) or a dense block (2*count > block: download D instead) from
     the same transfer.
 
-    Compaction is a cumsum + scatter, not ``jnp.nonzero``: each survivor's
-    output slot is its prefix count, and a [n*m, 3] payload of (flat idx,
-    d, nn) is scattered to those slots in one pass.  Measured on v5e at
-    n=2048, L=1 Mb this runs 6x faster than the nonzero lowering (50 ms
-    incl. download vs 324) and stays O(n*m) bandwidth-bound.  Non-survivor
-    slots point at a discard row; slot order == flat row-major order ==
-    the reference's emission order within a row block.  Requires
-    na*nb < 2^31 (row blocks bound na, so this holds for any DB that fits
-    in HBM; asserted below)."""
+    Compaction is a cumsum + vectorised binary search + gather, not
+    ``jnp.nonzero`` and not a scatter: survivor s lives at the first flat
+    position where the running survivor count reaches s+1
+    (``searchsorted`` on the inclusive cumsum), and the three value
+    gathers are capacity-sized.  The r2 scatter formulation ([n*m, 3]
+    payload scattered by slot) measured 97 ms of the 595 ms n=4096 sweep
+    — the 4M-update scatter dominated; the gather form touches O(n*m)
+    only in the cumsum.  (Both beat the ``jnp.nonzero`` lowering by ~6x.)
+    Slot order == flat row-major order == the reference's emission order
+    within a row block.  Requires na*nb < 2^31 (row blocks bound na, so
+    this holds for any DB that fits in HBM; asserted below)."""
     na, nb = D.shape
     assert na * nb < 2**31, "row block too large for int32 flat indexing"
     mask = D <= dist
@@ -490,16 +495,18 @@ def _extract_coo_packed(D, NN, dist, r0, n_valid, c0=0, *, capacity: int,
     if triangle:
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
         mask &= cols_idx > rows_idx
-    m = mask.ravel()
-    pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    slot = jnp.where(m, jnp.minimum(pos, capacity - 1), capacity)
-    flatidx = jnp.arange(na * nb, dtype=jnp.int32)
+    csum = jnp.cumsum(mask.ravel().astype(jnp.int32))
+    count = csum[-1]
+    # flat index of survivor s = first position with csum == s+1; beyond
+    # count the search returns n*m and the clipped gather reads garbage
+    # that the caller never touches (entries past `count`)
+    flatidx = jnp.searchsorted(
+        csum, jnp.arange(1, capacity + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    safe = jnp.minimum(flatidx, na * nb - 1)
     nnflat = NN.ravel() if with_nn else D.ravel()
-    payload = jnp.stack([flatidx, D.ravel(), nnflat], axis=1)
-    out = jnp.zeros((capacity + 1, 3), jnp.int32).at[slot].set(payload)
     return jnp.concatenate(
-        [count[None], out[:capacity, 0], out[:capacity, 1], out[:capacity, 2]]
+        [count[None], flatidx, D.ravel()[safe], nnflat[safe]]
     )
 
 
@@ -917,7 +924,7 @@ def pairsnp_stream(
     outputs (see ops/packing.py::compact_variant_columns), typically
     10-100x fewer sites on real (mostly conserved) alignments.
     """
-    from tracs_tpu.ops.recomb import filter_recomb_batch
+    from tracs_tpu.ops.recomb import filter_pairs
 
     if len(fasta) < 1 or len(fasta) > 2:
         raise ValueError("Invalid number of fasta files!")
@@ -991,8 +998,9 @@ def pairsnp_stream(
             if nn_off:
                 nvals = nvals + nn_off
             if filter and len(rows):
-                mism = mismatch_words(a_k, b_k, rows, cols)
-                filt = filter_recomb_batch(mism, dvals, length, position_map=pos_map)
+                filt = filter_pairs(
+                    a_k, b_k, rows, cols, dvals, length, position_map=pos_map
+                )
             else:
                 filt = np.zeros(len(rows), dtype=np.int64)
             yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
@@ -1109,8 +1117,9 @@ def pairsnp_stream(
         if nn_off:
             nvals = nvals + nn_off
         if filter and len(rows):
-            mism = mismatch_words(a_k, b_k, rows, cols)
-            filt = filter_recomb_batch(mism, dvals, length, position_map=pos_map)
+            filt = filter_pairs(
+                a_k, b_k, rows, cols, dvals, length, position_map=pos_map
+            )
         else:
             filt = np.zeros(len(rows), dtype=np.int64)
         yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals

@@ -63,6 +63,30 @@ def filter_recomb_single(positions: np.ndarray, length: int) -> int:
     return int(keep.sum())
 
 
+def filter_pairs(
+    a, b, rows, cols, dvals, length: int, *,
+    position_map: np.ndarray | None = None, chunk: int = 2048,
+) -> np.ndarray:
+    """Filtered distances for survivor pairs (rows, cols) of packed
+    alignments ``a`` x ``b`` — the streaming driver's filter entry point.
+
+    Materialising every pair's mismatch bitset at once costs
+    n_pairs x L/8 bytes (a 10k-sample run can emit 10^5 survivors per
+    block: ~12 GB uncompacted), so pairs stream through fixed-size chunks:
+    gather + AND/OR the planes for one chunk, filter it, free it.
+    """
+    from tracs_tpu.ops.pairsnp import mismatch_words
+
+    out = np.asarray(dvals, dtype=np.int64).copy()
+    for s in range(0, len(out), chunk):
+        e = min(len(out), s + chunk)
+        mism = mismatch_words(a, b, rows[s:e], cols[s:e])
+        out[s:e] = filter_recomb_batch(
+            mism, out[s:e], length, position_map=position_map
+        )
+    return out
+
+
 def filter_recomb_batch(
     mism_words: np.ndarray,
     dvals: np.ndarray,
