@@ -25,8 +25,9 @@ MAC cost)
    device``).  Measured on one TPU v5e chip at n=2048, L=1 Mb: grams at
    ~220 TOPS effective — above the bare ``lax.dot_general`` int8 rate at
    the same shape (202 TOPS), i.e. the unpack is fully hidden — and the
-   full streaming unit (sweep + device COO + survivor download) at 29.4M
-   pairs/s at n=4096, rb=1024 (see ARCHITECTURE.md).
+   full streaming unit (sweep + device COO + survivor download) at 33.3M
+   pairs/s at n=4096, rb=1024, MFU 52.8% with every millisecond
+   attributed (scripts/mfu_breakdown.py; see ARCHITECTURE.md).
 
 2. **15-channel inclusion-exclusion gram** ("mxu").  The general expansion
    [u ∩ v ≠ ∅] = −Σ_{S≠∅} (−1)^{|S|} χ_S(u)χ_S(v) over plane subsets:
