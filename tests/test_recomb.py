@@ -105,3 +105,49 @@ def test_end_to_end_filter_driver(rng):
     mism = mismatch_words(packed, packed, [0], [1])
     bits = np.unpackbits(mism.view(np.uint8), bitorder="little")
     assert list(np.nonzero(bits)[0]) == list(pos)
+
+
+def test_filter_pairs_device_positions_match_host(rng):
+    """The device position-extraction route of filter_pairs must agree with
+    the host bitset route exactly, incl. under variant compaction."""
+    import tracs_tpu.ops.recomb as rc
+    from tracs_tpu.ops.packing import compact_variant_columns
+    from tracs_tpu.ops.recomb import filter_pairs
+
+    # clustered + scattered SNPs so the windowed test has work to do
+    L = 4000
+    base = rng.choice(list("ACGT"), size=L)
+    seqs = []
+    for k in range(10):
+        s = base.copy()
+        n_mut = int(rng.integers(2, 60))
+        where = rng.choice(L, size=n_mut, replace=False)
+        if k % 2:  # half the samples get a clustered patch too
+            start = int(rng.integers(0, L - 60))
+            where = np.concatenate([where, np.arange(start, start + 25)])
+        for x in where:
+            s[x] = {"A": "C", "C": "G", "G": "T", "T": "A"}[s[x]]
+        seqs.append("".join(s))
+    p = pack_sequences(seqs)
+    ii, jj = np.triu_indices(10, k=1)
+    from tracs_tpu.ops.pairsnp import snp_distance_dense
+
+    D, _ = snp_distance_dense(p)
+    dvals = D[ii, jj].astype(np.int64)
+
+    dev = filter_pairs(p, p, ii, jj, dvals, L)
+    try:
+        cap_bak = rc._DEVICE_FILTER_CAP
+        rc._DEVICE_FILTER_CAP = 0  # force the host bitset route
+        host = filter_pairs(p, p, ii, jj, dvals, L)
+    finally:
+        rc._DEVICE_FILTER_CAP = cap_bak
+    assert np.array_equal(dev, host)
+    assert (dev <= dvals).all() and (dev[dvals > 20] < dvals[dvals > 20]).any()
+
+    # compacted coordinates + position map: same answers as uncompacted
+    comp = compact_variant_columns(p)
+    assert comp is not None
+    pk, _, pos_map, _ = comp
+    dev_c = filter_pairs(pk, pk, ii, jj, dvals, L, position_map=pos_map)
+    assert np.array_equal(dev_c, dev)

@@ -278,14 +278,23 @@ def _seed_batch(N, delta, *, lamb, beta, cap_pois, cap_int):
 def _k_step_fast(N, delta, log_delta, log_pois, upper_bound, lg_N1,
                  lamb, beta, log_lb, threshold_Ek, state):
     """The k iteration with every lgamma carried as a recurrence
-    (lgamma(x+1) = lgamma(x) + log(x)) and loop-invariant logs hoisted —
-    ~3x fewer transcendentals per lane-step than the direct form.  Same
-    math as _k_step to f64 rounding (the monolithic engine keeps the
-    direct lgammas and serves as the oracle, tests/test_transcluster.py).
+    (lgamma(x+1) = lgamma(x) + log(x)), loop-invariant logs hoisted, AND
+    the two positive-term accumulators — E(K) = sum k*P(k) and the exit
+    bound's partial sum — carried in LINEAR f64 instead of log space:
+    both end in exp() anyway (the reference returns exp(lprob),
+    transcluster.hpp:238, and compares exp(elprob) against the upper
+    bound every step, transcluster.hpp:232), so summing exp(term)
+    directly is the same math with ~2x fewer transcendentals per
+    lane-step (each logaddexp is an exp + log1p; the per-step exit exp
+    disappears entirely).  Differs from the reference's logaddexpd chain
+    only in f64 rounding (a positive-term linear sum is the MORE accurate
+    of the two); the monolithic oracle keeps the direct log-space form
+    and the two are compared in tests/test_transcluster.py.
 
-    Carries: lg_M1 = lgamma(N+k+1), lg_k1 = lgamma(k+1).
+    Carries: lg_M1 = lgamma(N+k+1), lg_k1 = lgamma(k+1),
+    log_k = log(k) (reused from the previous step's lgamma update).
     """
-    k, lprob, elprob, log_I, lg_M1, lg_k1, done = state
+    k, e_sum, b_sum, log_I, lg_M1, lg_k1, log_k, done = state
     M = N + k
     log_I_next = jnp.logaddexp(M * log_delta - lg_M1 - log_lb, log_I - log_lb)
 
@@ -302,12 +311,11 @@ def _k_step_fast(N, delta, log_delta, log_pois, upper_bound, lg_N1,
     lp_k = jnp.where(pos, base_pos + log_I_next, lprob_zero)
     lhs_k = jnp.where(pos, base_pos, lprob_zero)
 
-    log_k = jnp.log(k)
-    lprob_new = jnp.logaddexp(lprob, lp_k + log_k)
-    elprob_new = jnp.logaddexp(
-        elprob, lhs_k + log_k + delta * (lamb + beta) - (M + 1.0) * log_lb
+    e_sum_new = e_sum + jnp.exp(lp_k + log_k)
+    b_sum_new = b_sum + jnp.exp(
+        lhs_k + log_k + delta * (lamb + beta) - (M + 1.0) * log_lb
     )
-    diff_bound = upper_bound - jnp.exp(elprob_new)
+    diff_bound = upper_bound - b_sum_new
     # same exit rule + cancellation guard as _k_step (see comment there)
     bound_usable = jnp.logical_not(upper_bound * 1e-12 >= threshold_Ek)
     done_new = (
@@ -316,20 +324,22 @@ def _k_step_fast(N, delta, log_delta, log_pois, upper_bound, lg_N1,
         | (k + 1.0 >= _K_CAP)
     )
     keep = jnp.logical_not(done)
+    log_k1 = jnp.log(k + 1.0)
     return (
         jnp.where(keep, k + 1.0, k),
-        jnp.where(keep, lprob_new, lprob),
-        jnp.where(keep, elprob_new, elprob),
+        jnp.where(keep, e_sum_new, e_sum),
+        jnp.where(keep, b_sum_new, b_sum),
         jnp.where(keep, log_I_next, log_I),
         jnp.where(keep, lg_M1 + jnp.log(M + 1.0), lg_M1),
-        jnp.where(keep, lg_k1 + jnp.log(k + 1.0), lg_k1),
+        jnp.where(keep, lg_k1 + log_k1, lg_k1),
+        jnp.where(keep, log_k1, log_k),
         done_new,
     )
 
 
 @partial(jax.jit, static_argnames=("lamb", "beta", "threshold_Ek", "n_steps"))
 def _k_block(N, delta, log_delta, log_pois, upper_bound, lg_N1,
-             k, lprob, elprob, log_I, lg_M1, lg_k1, done,
+             k, e_sum, b_sum, log_I, lg_M1, lg_k1, log_k, done,
              *, lamb, beta, threshold_Ek, n_steps):
     """Run ``n_steps`` k iterations for the still-active lanes (lax.scan)."""
     log_lb = math.log(lamb + beta)
@@ -340,7 +350,8 @@ def _k_block(N, delta, log_delta, log_pois, upper_bound, lg_N1,
         return step(state), None
 
     state, _ = jax.lax.scan(
-        body, (k, lprob, elprob, log_I, lg_M1, lg_k1, done), None, length=n_steps
+        body, (k, e_sum, b_sum, log_I, lg_M1, lg_k1, log_k, done), None,
+        length=n_steps,
     )
     return state
 
@@ -451,11 +462,12 @@ def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
             log_sd = np.log(sd)  # -inf for delta == 0 lanes (the NaN quirk path)
         lg_N1_all = gammaln(sN + 1.0)
         k_st = np.ones(m)
-        lp_st = np.full(m, -np.inf)
-        el_st = np.full(m, -np.inf)
+        e_st = np.zeros(m)          # E(K) partial sum (linear f64)
+        b_st = np.zeros(m)          # exit-bound partial sum (linear f64)
         li_st = log_I0.copy()
         lgM_st = gammaln(sN + 2.0)  # lgamma(N+k+1) at k=1
         lgk_st = np.zeros(m)        # lgamma(k+1)   at k=1
+        logk_st = np.zeros(m)       # log(k)        at k=1
         active = np.arange(m)
         n_steps = 8
         while active.size:
@@ -471,21 +483,25 @@ def trans_dist(snpdiff, datediff, lamb, beta, threshold_Ek=1e-6):
                 padded(sN[active]), padded(sd[active]), padded(log_sd[active]),
                 padded(log_pois[active]), padded(upper[active]),
                 padded(lg_N1_all[active]),
-                padded(k_st[active], fill=1.0), padded(lp_st[active], fill=-np.inf),
-                padded(el_st[active], fill=-np.inf), padded(li_st[active]),
+                padded(k_st[active], fill=1.0), padded(e_st[active]),
+                padded(b_st[active]), padded(li_st[active]),
                 padded(lgM_st[active]), padded(lgk_st[active]),
+                padded(logk_st[active]),
                 padded(np.zeros(a, bool), fill=True, dtype=bool),
                 lamb=lamb, beta=beta, threshold_Ek=threshold_Ek, n_steps=n_steps,
             )
-            k_n, lp_n, el_n, li_n, lgM_n, lgk_n, dn_n = (np.asarray(r)[:a] for r in res)
+            k_n, e_n, b_n, li_n, lgM_n, lgk_n, logk_n, dn_n = (
+                np.asarray(r)[:a] for r in res
+            )
             k_st[active] = k_n
-            lp_st[active] = lp_n
-            el_st[active] = el_n
+            e_st[active] = e_n
+            b_st[active] = b_n
             li_st[active] = li_n
             lgM_st[active] = lgM_n
             lgk_st[active] = lgk_n
+            logk_st[active] = logk_n
             fin = dn_n
-            eK_s[active[fin]] = np.exp(lp_n[fin])
+            eK_s[active[fin]] = e_n[fin]
             active = active[~fin]
             n_steps = min(n_steps * 2, 512)
 

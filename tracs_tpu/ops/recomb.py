@@ -21,6 +21,8 @@ scipy call over every SNP of every pair in the batch.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy.stats import binom
 
@@ -63,6 +65,11 @@ def filter_recomb_single(positions: np.ndarray, length: int) -> int:
     return int(keep.sum())
 
 
+# device path capacity ceiling: pairs with more SNPs than this fall back to
+# the host bitset path (the [P, cap] position download would stop paying)
+_DEVICE_FILTER_CAP = int(os.environ.get("TRACS_TPU_FILTER_CAP", 8192))
+
+
 def filter_pairs(
     a, b, rows, cols, dvals, length: int, *,
     position_map: np.ndarray | None = None, chunk: int = 2048,
@@ -70,14 +77,41 @@ def filter_pairs(
     """Filtered distances for survivor pairs (rows, cols) of packed
     alignments ``a`` x ``b`` — the streaming driver's filter entry point.
 
-    Materialising every pair's mismatch bitset at once costs
-    n_pairs x L/8 bytes (a 10k-sample run can emit 10^5 survivors per
-    block: ~12 GB uncompacted), so pairs stream through fixed-size chunks:
-    gather + AND/OR the planes for one chunk, filter it, free it.
+    Default route: mismatch SNP positions are extracted ON DEVICE from the
+    resident planes (pairsnp.mismatch_positions_device) and only
+    [n_pairs, cap] position tables cross the host link — ~100x less
+    transfer and no host-side [n_pairs, L/8] bitset materialisation (a
+    10k-sample block can emit 10^5 survivors: ~12 GB of bitsets).  Pairs
+    whose d exceeds the capacity ceiling (unthresholded runs) stream
+    through the host bitset path in fixed-size chunks instead.
     """
-    from tracs_tpu.ops.pairsnp import mismatch_words
+    from tracs_tpu.ops.pairsnp import mismatch_positions_device, mismatch_words
 
     out = np.asarray(dvals, dtype=np.int64).copy()
+    todo = np.nonzero(out > 1)[0]
+    if todo.size == 0:
+        return out
+
+    d_todo = out[todo]
+    cap = 1 << max(7, int(np.ceil(np.log2(max(2, d_todo.max())))))
+    if cap <= _DEVICE_FILTER_CAP:
+        counts, positions = mismatch_positions_device(
+            a, b, rows[todo], cols[todo], cap
+        )
+        # the device mismatch popcount must equal the sweep's distance for
+        # every pair (same formula); treat any disagreement as a bug
+        if not np.array_equal(counts, d_todo):
+            raise AssertionError(
+                "device mismatch-position counts disagree with SNP distances"
+            )
+        valid = np.arange(cap)[None, :] < counts[:, None]
+        pos = positions[valid]  # row-major -> sorted within each pair
+        if position_map is not None:
+            pos = position_map[pos]
+        pair_idx = np.repeat(np.arange(todo.size), counts)
+        out[todo] = _filter_flat(pair_idx, pos, d_todo, todo.size, length)
+        return out
+
     for s in range(0, len(out), chunk):
         e = min(len(out), s + chunk)
         mism = mismatch_words(a, b, rows[s:e], cols[s:e])
@@ -142,16 +176,27 @@ def filter_recomb_batch(
     if position_map is not None:
         pos = position_map[pos]  # monotonic -> stays sorted per pair
 
-    # per-pair parameters
-    d_t = out[todo].astype(np.float64)
-    p_t = d_t / length
-    w_t = (1.0 / p_t / 2.0 + 1.0).astype(np.int64)
+    out[todo] = _filter_flat(pair_idx, pos, out[todo], todo.size, length)
+    return out
+
+
+def _filter_flat(pair_idx, pos, d_per_pair, n_todo, length):
+    """Windowed-binomial filter core over flat (pair_idx, pos) vectors.
+
+    pair_idx   : int [n_snps] pair segment of each SNP (nondecreasing)
+    pos        : int [n_snps] SNP positions, sorted within each segment
+                 (ORIGINAL genome coordinates)
+    d_per_pair : int64 [n_todo] SNP distance per pair (all > 1)
+    Returns int64 [n_todo] kept-SNP counts.  Shared by the host bitset
+    path (filter_recomb_batch) and the device position-extraction path
+    (filter_pairs)."""
+    d_t = np.asarray(d_per_pair, dtype=np.float64)
+    w_t = (1.0 / (d_t / length) / 2.0 + 1.0).astype(np.int64)
     w_t = np.clip(w_t, _WIN_MIN, _WIN_MAX)
-    thr_t = 0.05 / d_t
 
     # segment boundaries of each pair's positions in the flat vector
-    starts = np.searchsorted(pair_idx, np.arange(todo.size), side="left")
-    ends = np.searchsorted(pair_idx, np.arange(todo.size), side="right")
+    starts = np.searchsorted(pair_idx, np.arange(n_todo), side="left")
+    ends = np.searchsorted(pair_idx, np.arange(n_todo), side="right")
 
     w_flat = w_t[pair_idx]
     # windowed counts via searchsorted restricted to each pair's segment:
@@ -173,7 +218,7 @@ def filter_recomb_batch(
         # threshold are functions of d alone): evaluate the binomial survival
         # function once per unique triple — the reference memoises the same
         # way with a hash map (pairsnp.hpp:41-58)
-        d_flat = out[todo][pair_idx[multi]].astype(np.int64)
+        d_flat = np.asarray(d_per_pair, dtype=np.int64)[pair_idx[multi]]
         triples = np.stack([count[multi], span[multi], d_flat], axis=1)
         uniq, inv = np.unique(triples, axis=0, return_inverse=True)
         pv_u = binom.sf(uniq[:, 0], uniq[:, 1], uniq[:, 2].astype(np.float64) / length)
@@ -183,6 +228,4 @@ def filter_recomb_batch(
     kept_per_pair = np.add.reduceat(keep.astype(np.int64), starts)
     # reduceat quirk: empty segments copy the next element; d > 1 segments are
     # never empty here, but guard anyway
-    kept_per_pair = np.where(ends > starts, kept_per_pair, 0)
-    out[todo] = kept_per_pair
-    return out
+    return np.where(ends > starts, kept_per_pair, 0)
