@@ -151,3 +151,60 @@ def test_filter_pairs_device_positions_match_host(rng):
     pk, _, pos_map, _ = comp
     dev_c = filter_pairs(pk, pk, ii, jj, dvals, L, position_map=pos_map)
     assert np.array_equal(dev_c, dev)
+
+
+def test_native_keep_pass_matches_numpy_core(rng):
+    """The single-pass native filter (tn_filter_windows: inline table
+    lookups + per-pair accumulation, incl. the count > _SF_TABLE_CAP
+    overflow resolution) must agree with the pure-numpy searchsorted core
+    on data mixing sparse and heavily clustered windows."""
+    from tracs_tpu.ops import recomb
+
+    length = 200_000
+    segs = []
+    dvals = []
+    for i in range(200):
+        d = int(rng.integers(2, 120))
+        pos = np.sort(rng.choice(length, size=d, replace=False))
+        if i % 4 == 0 and d > 40:
+            # dense cluster: >_SF_TABLE_CAP SNPs inside one window to force
+            # the overflow branch
+            base = int(rng.integers(0, length - 600))
+            pos[: d // 2] = np.sort(
+                rng.choice(500, size=d // 2, replace=False) + base
+            )
+            pos = np.sort(pos)
+            d = len(np.unique(pos))
+            pos = np.unique(pos)
+        segs.append(pos.astype(np.int64))
+        dvals.append(len(pos))
+    pair_idx = np.repeat(np.arange(len(segs)), [len(s) for s in segs])
+    pos_flat = np.concatenate(segs)
+    d_arr = np.asarray(dvals, dtype=np.int64)
+
+    native = recomb._filter_flat(pair_idx, pos_flat, d_arr, len(segs), length)
+
+    # numpy core: the searchsorted formulation of _window_stats, inlined so
+    # the native library cannot shortcut it
+    w_t = recomb._window_w(d_arr, length)
+    bounds = np.searchsorted(pair_idx, np.arange(len(segs) + 1), side="left")
+    w_flat = w_t[pair_idx]
+    stride = length + 2 * recomb._WIN_MAX + 2
+    gpos = pos_flat + pair_idx * stride
+    lo = np.searchsorted(gpos, pos_flat - w_flat + pair_idx * stride, "left")
+    hi = np.searchsorted(gpos, pos_flat + w_flat + 1 + pair_idx * stride, "left")
+    count = (hi - lo).astype(np.int32)
+    span = pos_flat[hi - 1] - pos_flat[lo] + 1
+    multi = count > 1
+    keep = np.ones(len(pos_flat), dtype=bool)
+    d_u, d_rank = np.unique(d_arr, return_inverse=True)
+    keep[multi] = recomb._keep_lookup(
+        count[multi], span[multi], d_u, d_rank[pair_idx[multi]], length
+    )
+    kept = np.add.reduceat(keep.astype(np.int64), bounds[:-1])
+    expected = np.where(bounds[1:] > bounds[:-1], kept, 0)
+
+    assert np.array_equal(native, expected)
+    # and against the per-pair oracle
+    for s, pos in enumerate(segs):
+        assert native[s] == oracle_filter(pos, length), s

@@ -180,6 +180,137 @@ def filter_recomb_batch(
     return out
 
 
+def _window_w(d, length):
+    """Per-pair window half-width (reference pairsnp.hpp:266-271):
+    clamp(1/(2p) + 1, WIN_MIN, WIN_MAX) with p = d/L, truncated to int."""
+    d_t = np.asarray(d, dtype=np.float64)
+    w = (1.0 / (d_t / length) / 2.0 + 1.0).astype(np.int64)
+    return np.clip(w, _WIN_MIN, _WIN_MAX)
+
+
+def _window_stats(pos, bounds, w_t, pair_idx, length):
+    """Per-SNP (count, span) of in-window neighbours.  Native two-pointer
+    sweep (O(n_snps)); numpy fallback runs two global searchsorted passes
+    over positions offset by a per-pair stride."""
+    from tracs_tpu.runtime.native import native_window_stats
+
+    res = native_window_stats(pos, bounds, w_t)
+    if res is not None:
+        return res
+
+    w_flat = w_t[pair_idx]
+    # windows can never cross segment boundaries after a stride offset
+    stride = length + 2 * _WIN_MAX + 2
+    gpos = pos + pair_idx * stride
+    lo = np.searchsorted(gpos, pos - w_flat + pair_idx * stride, side="left")
+    hi = np.searchsorted(gpos, pos + w_flat + 1 + pair_idx * stride, side="left")
+    span = pos[hi - 1] - pos[lo] + 1
+    return (hi - lo).astype(np.int32), span
+
+
+# keep-decision tables: for a given (d, length) the window width, the
+# success probability p = d/L and the significance threshold 0.05/d are all
+# fixed, so the keep decision is a pure function of (count, span) — a small
+# bool table per d (count <= _SF_TABLE_CAP covers essentially every window;
+# larger counts fall through to direct sf evaluation).  Replaces the
+# reference's per-(count, span, p) hash-map memoisation (pairsnp.hpp:41-58)
+# and the previous per-batch np.unique over triples, whose structured sort
+# dominated the filter (measured 39s of a 47s batch at 200k pairs).
+_SF_TABLE_CAP = 16
+_keep_tables: dict = {}
+
+
+def _keep_table(d, length):
+    """bool [(_SF_TABLE_CAP - 1), 2w + 2] — keep[count - 2, span]."""
+    key = (d, length)
+    tab = _keep_tables.get(key)
+    if tab is None:
+        if len(_keep_tables) > 4096:  # bound process-level growth
+            _keep_tables.clear()
+        w = int(_window_w(d, length)[()])
+        spans = np.arange(2 * w + 2, dtype=np.int64)
+        cnts = np.arange(2, _SF_TABLE_CAP + 1, dtype=np.int64)
+        pv = binom.sf(cnts[:, None], spans[None, :], d / length)
+        tab = pv >= (0.05 / d)
+        _keep_tables[key] = tab
+    return tab
+
+
+def _keep_lookup(count, span, d_u, d_inv_flat, length):
+    """keep iff binom.sf(count, span, d/L) >= 0.05/d, for count > 1.
+    ``d_u``/``d_inv_flat``: unique pair distances and each SNP's rank into
+    them (ranking happens at the pair level — re-deriving it from the flat
+    per-SNP d vector would sort 10^8 elements)."""
+    keep = np.empty(len(count), dtype=bool)
+    small = count <= _SF_TABLE_CAP
+    if np.any(small):
+        cs, ss = count[small], span[small]
+        d_inv = d_inv_flat[small]
+        tabs = [_keep_table(int(dv), length) for dv in d_u]
+        widths = np.array([t.shape[1] for t in tabs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(widths * (_SF_TABLE_CAP - 1))])
+        flat = np.concatenate([t.ravel() for t in tabs])
+        idx = offs[d_inv] + (cs.astype(np.int64) - 2) * widths[d_inv] + ss
+        keep[small] = flat[idx]
+    big = ~small
+    if np.any(big):
+        # rare (heavily clustered windows): unique on a packed scalar key —
+        # count and span are both <= 2*WIN_MAX + 1, d is ranked, so the key
+        # stays far below 2^63
+        sb = np.int64(2 * _WIN_MAX + 2)
+        nd = np.int64(len(d_u))
+        key = (count[big].astype(np.int64) * sb + span[big]) * nd + d_inv_flat[big]
+        uniq, inv = np.unique(key, return_inverse=True)
+        du = np.asarray(d_u)[uniq % nd]
+        rem = uniq // nd
+        pv = binom.sf(rem // sb, rem % sb, du.astype(np.float64) / length)
+        keep[big] = (pv >= 0.05 / du)[inv]
+    return keep
+
+
+def _filter_flat_native(pos, bounds, w_t, d_per_pair, length):
+    """One native pass: (count, span) two-pointer sweep with the keep
+    decision resolved inline from per-pair tables — no flat [n_snps] numpy
+    passes at all (those dominated the filter at 10^8 SNPs).  Returns
+    int64 kept[n_pairs] or None when the native library is unavailable."""
+    from tracs_tpu.runtime.native import native_filter_windows
+
+    d_u, d_rank = np.unique(
+        np.asarray(d_per_pair, dtype=np.int64), return_inverse=True
+    )
+    tabs = [_keep_table(int(dv), length) for dv in d_u]
+    sizes = np.array([t.size for t in tabs], dtype=np.int64)
+    offs_u = np.concatenate([[0], np.cumsum(sizes)])
+    flat = np.concatenate(
+        [np.ascontiguousarray(t, dtype=np.uint8).ravel() for t in tabs]
+    )
+    widths_u = np.array([t.shape[1] for t in tabs], dtype=np.int64)
+    res = native_filter_windows(
+        pos, bounds, w_t, flat, offs_u[:-1][d_rank], widths_u[d_rank],
+        _SF_TABLE_CAP,
+    )
+    if res is None:
+        return None
+    kept, ovf = res
+    if ovf.any():
+        # rare: windows holding more than _SF_TABLE_CAP SNPs — recompute
+        # (count, span) via the native stats pass and subtract the
+        # rejected ones per pair (the keep pass counted them provisionally)
+        from tracs_tpu.runtime.native import native_window_stats
+
+        idx = np.nonzero(ovf)[0]
+        snp_pair = np.searchsorted(bounds, idx, side="right") - 1
+        count, span = native_window_stats(pos, bounds, w_t)
+        ovf_keep = _keep_lookup(
+            count[idx], span[idx], d_u, d_rank[snp_pair], length
+        )
+        rejects = np.bincount(
+            snp_pair[~ovf_keep], minlength=len(kept)
+        ).astype(np.int64)
+        kept -= rejects
+    return kept
+
+
 def _filter_flat(pair_idx, pos, d_per_pair, n_todo, length):
     """Windowed-binomial filter core over flat (pair_idx, pos) vectors.
 
@@ -190,42 +321,25 @@ def _filter_flat(pair_idx, pos, d_per_pair, n_todo, length):
     Returns int64 [n_todo] kept-SNP counts.  Shared by the host bitset
     path (filter_recomb_batch) and the device position-extraction path
     (filter_pairs)."""
-    d_t = np.asarray(d_per_pair, dtype=np.float64)
-    w_t = (1.0 / (d_t / length) / 2.0 + 1.0).astype(np.int64)
-    w_t = np.clip(w_t, _WIN_MIN, _WIN_MAX)
-
-    # segment boundaries of each pair's positions in the flat vector
-    starts = np.searchsorted(pair_idx, np.arange(n_todo), side="left")
-    ends = np.searchsorted(pair_idx, np.arange(n_todo), side="right")
-
-    w_flat = w_t[pair_idx]
-    # windowed counts via searchsorted restricted to each pair's segment:
-    # offset positions by pair_idx * (length + 2*WIN_MAX + 2) so windows can
-    # never cross segment boundaries, then one global searchsorted.
-    stride = length + 2 * _WIN_MAX + 2
-    gpos = pos + pair_idx * stride
-    lo = np.searchsorted(gpos, pos - w_flat + pair_idx * stride, side="left")
-    hi = np.searchsorted(gpos, pos + w_flat + 1 + pair_idx * stride, side="left")
-    count = hi - lo
-    first = pos[lo]
-    last = pos[hi - 1]
-    span = last - first + 1
+    w_t = _window_w(d_per_pair, length)
+    bounds = np.searchsorted(pair_idx, np.arange(n_todo + 1), side="left")
+    kept = _filter_flat_native(pos, bounds, w_t, d_per_pair, length)
+    if kept is not None:
+        return np.where(bounds[1:] > bounds[:-1], kept, 0)
+    count, span = _window_stats(pos, bounds, w_t, pair_idx, length)
 
     multi = count > 1
     keep = np.ones(len(pos), dtype=bool)
     if np.any(multi):
-        # (count, span, d) triples repeat heavily across pairs (p and the
-        # threshold are functions of d alone): evaluate the binomial survival
-        # function once per unique triple — the reference memoises the same
-        # way with a hash map (pairsnp.hpp:41-58)
-        d_flat = np.asarray(d_per_pair, dtype=np.int64)[pair_idx[multi]]
-        triples = np.stack([count[multi], span[multi], d_flat], axis=1)
-        uniq, inv = np.unique(triples, axis=0, return_inverse=True)
-        pv_u = binom.sf(uniq[:, 0], uniq[:, 1], uniq[:, 2].astype(np.float64) / length)
-        keep_u = pv_u >= (0.05 / uniq[:, 2])
-        keep[multi] = keep_u[inv]
+        d_u, d_rank = np.unique(
+            np.asarray(d_per_pair, dtype=np.int64), return_inverse=True
+        )
+        d_inv_flat = d_rank[pair_idx[multi]]
+        keep[multi] = _keep_lookup(
+            count[multi], span[multi], d_u, d_inv_flat, length
+        )
 
-    kept_per_pair = np.add.reduceat(keep.astype(np.int64), starts)
+    kept_per_pair = np.add.reduceat(keep.astype(np.int64), bounds[:-1])
     # reduceat quirk: empty segments copy the next element; d > 1 segments are
     # never empty here, but guard anyway
-    return np.where(ends > starts, kept_per_pair, 0)
+    return np.where(bounds[1:] > bounds[:-1], kept_per_pair, 0)

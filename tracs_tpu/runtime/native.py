@@ -121,6 +121,24 @@ def _configure(lib) -> None:
         i64p, ctypes.c_char_p, ctypes.c_int64,       # nn, ref, ref_len
         ctypes.c_char_p, ctypes.c_int64,             # out, cap
     ]
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    lib.tn_window_stats.restype = None
+    lib.tn_window_stats.argtypes = [
+        i64p, ctypes.c_int64,          # pos, n_snps
+        i64p, ctypes.c_int64,          # seg_bounds, n_pairs
+        i64p, i32p, i64p,              # w, count out, span out
+    ]
+
+    lib.tn_filter_windows.restype = None
+    lib.tn_filter_windows.argtypes = [
+        i64p, ctypes.c_int64,          # pos, n_snps
+        i64p, ctypes.c_int64,          # seg_bounds, n_pairs
+        i64p,                          # w
+        u8p, i64p, i64p,               # tables, tab_off, tab_width
+        ctypes.c_int64,                # cap
+        i64p, u8p,                     # kept out, ovf_mark out
+    ]
+
     lib._f64p = f64p  # stash for callers needing pointer casts
 
 
@@ -277,3 +295,47 @@ def native_read_dist_csv(path, col_index, threshold):
         else []
     )
     return I[:n_edges], J[:n_edges], names, n_rows
+
+
+def native_window_stats(pos, seg_bounds, w):
+    """Per-SNP windowed (count, span) for the recombination filter: a
+    two-pointer sweep per pair segment (O(n_snps) total vs the numpy
+    fallback's global binary searches).  Returns (int32 count, int64 span)
+    arrays, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    seg_bounds = np.ascontiguousarray(seg_bounds, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.int64)
+    n_pairs = len(seg_bounds) - 1
+    count = np.empty(len(pos), dtype=np.int32)
+    span = np.empty(len(pos), dtype=np.int64)
+    lib.tn_window_stats(pos, len(pos), seg_bounds, n_pairs, w, count, span)
+    return count, span
+
+
+def native_filter_windows(pos, seg_bounds, w, tables, tab_off, tab_width, cap):
+    """Full recombination-filter window pass: two-pointer (count, span) per
+    SNP with the keep decision resolved inline from per-pair boolean tables
+    and kept counts accumulated per pair.  Returns (int64 kept[n_pairs],
+    uint8 ovf_mark[n_snps]) where marked SNPs had window counts above
+    ``cap`` (provisionally counted kept — the caller resolves them); None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    seg_bounds = np.ascontiguousarray(seg_bounds, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.int64)
+    tables = np.ascontiguousarray(tables, dtype=np.uint8)
+    tab_off = np.ascontiguousarray(tab_off, dtype=np.int64)
+    tab_width = np.ascontiguousarray(tab_width, dtype=np.int64)
+    n_pairs = len(seg_bounds) - 1
+    kept = np.empty(n_pairs, dtype=np.int64)
+    ovf = np.zeros(len(pos), dtype=np.uint8)
+    lib.tn_filter_windows(
+        pos, len(pos), seg_bounds, n_pairs, w,
+        tables, tab_off, tab_width, int(cap), kept, ovf,
+    )
+    return kept, ovf
