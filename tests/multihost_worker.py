@@ -22,6 +22,9 @@ against single-process references.
 import os
 import sys
 
+# launched with cwd=tmp_path, so the repo root is not on sys.path by default
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
