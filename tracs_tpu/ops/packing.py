@@ -206,6 +206,13 @@ class SplitAlignment:
     n_partial: int
     names: list
     partial_pos: np.ndarray | None = None  # [n_partial] int64 gathered positions
+    # backref to the PackedAlignment this split was derived from: lets the
+    # device path rebuild excl/nmask FROM the (smaller, possibly already
+    # uploaded) 4-plane tensor instead of transferring them — on tunneled
+    # TPUs host->device bytes are the scarce resource (ops/pairsnp.py
+    # ``_split_device``).  None for hand-built layouts; slices inherit it
+    # but are guarded by a row-count check before the derive path is used.
+    src: object = None
 
     @property
     def n_seqs(self) -> int:
@@ -266,7 +273,7 @@ def split_alignment(
     return SplitAlignment(
         excl=excl, nmask=all4.astype(np.uint32), partial=partial,
         cnt_n=cnt_n, length=packed.length, n_partial=n_partial,
-        names=packed.names, partial_pos=idx,
+        names=packed.names, partial_pos=idx, src=packed,
     )
 
 

@@ -323,15 +323,52 @@ def snp_distance_split_prefix_device(sa, r0: int, r1: int):
     return D, NN, c0
 
 
+@jax.jit
+def _derive_split_planes(planes):
+    """(excl, nmask) from raw packed planes, on device: all4 = A&C&G&T,
+    excl = planes & ~all4.  Bitwise VPU work over [n, 4, W] words — far
+    cheaper than transferring the derived tensors over the host link."""
+    all4 = planes[:, 0] & planes[:, 1] & planes[:, 2] & planes[:, 3]
+    return planes & ~all4[:, None, :], all4
+
+
+# transient HBM allowance for deriving the split layout on device: raw
+# planes (4 word-planes) + derived excl (4) + nmask (1) = 9 word-planes
+# live at once.  Above this, fall back to uploading the host-built layout
+# (5 word-planes peak).  ~12 GB default leaves room for gram chunk temps
+# on a 16 GB v5e.
+_DEVICE_SPLIT_BUDGET = int(os.environ.get("TRACS_TPU_DEVICE_SPLIT_BYTES", 12 << 30))
+
+
 def _split_device(sa, wp_target: int | None = None):
     """Device-resident (and cached) padded copies of a SplitAlignment.
     Host->device transfer happens ONCE per alignment — on a tunneled TPU the
-    re-upload otherwise dominates the sweep time."""
+    re-upload otherwise dominates the sweep time.
+
+    When the layout carries a ``src`` PackedAlignment backref, excl/nmask
+    are DERIVED on device from the 4-plane packed tensor instead of being
+    uploaded: 4 word-planes cross the link instead of 5 (and zero extra
+    planes when ``--filter`` already uploads them for mismatch extraction).
+    The 4-plane upload is freed right after deriving unless the caller
+    marked it for reuse (``_keep_planes_device``, set by the filter path)."""
     Wpad = ((sa.excl.shape[2] + 255) // 256) * 256
     cache = getattr(sa, "_dev_cache", None)
     if cache is None or cache[0] != Wpad:
-        ea = jnp.asarray(_pad_words(sa.excl, Wpad))
-        nm = jnp.asarray(np.pad(sa.nmask, ((0, 0), (0, Wpad - sa.nmask.shape[1]))))
+        src = getattr(sa, "src", None)
+        n = sa.excl.shape[0]
+        if (
+            src is not None
+            and src.planes.shape[0] == n  # a slice must not derive from full planes
+            and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0"
+            and 9 * n * Wpad * 4 <= _DEVICE_SPLIT_BUDGET
+        ):
+            planes = _planes_device(src)
+            ea, nm = _derive_split_planes(planes)
+            if not getattr(src, "_keep_planes_device", False):
+                src._dev_planes = None  # free the raw upload once derived
+        else:
+            ea = jnp.asarray(_pad_words(sa.excl, Wpad))
+            nm = jnp.asarray(np.pad(sa.nmask, ((0, 0), (0, Wpad - sa.nmask.shape[1]))))
         pt = jnp.asarray(sa.partial)
         cache = (Wpad, ea, nm, pt)
         sa._dev_cache = cache
@@ -1016,6 +1053,11 @@ def pairsnp_stream(
         method = _select_method(a_k, b_k)
     sweep = ring = None
     if method == "split":
+        if filter:
+            # mismatch-position extraction reuses the raw 4-plane upload;
+            # keep it so the device split derivation doesn't free it
+            a_k._keep_planes_device = True
+            b_k._keep_planes_device = True
         sa, sb = _split_pair(a_k, b_k)
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
             from tracs_tpu.parallel.allpairs import RingCoo, ShardedSweep
