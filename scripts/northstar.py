@@ -71,8 +71,7 @@ def cli(outdir):
 
     from tracs_tpu.stages.distance import distance_parser
 
-    n = sum(1 for l in open(os.path.join(outdir, "big.fasta"), "rb")
-            if l.startswith(b">"))
+    n = sum(1 for _ in open(os.path.join(outdir, "dates.csv"))) - 1
     parser = distance_parser(argparse.ArgumentParser())
     args = parser.parse_args([
         "--msa", os.path.join(outdir, "big.fasta"),

@@ -297,6 +297,50 @@ def schedule_mac_pairs(n: int, row_block: int, *, triangle: bool = True) -> int:
     return total
 
 
+@partial(jax.jit, static_argnames=("rb", "c0", "wc", "n_chunks"))
+def _dense_split_ranged(ea, nm, r0, *, rb: int, c0: int, wc: int, n_chunks: int):
+    """Prefix-block grams sliced INSIDE the chunk loop: the full
+    device-resident split layout goes in; per chunk, the row block
+    (``dynamic_slice`` at traced r0, static height rb) and the column
+    suffix (static start c0) are cut from that chunk's words only.
+
+    Slicing on the host side instead (a device ``ea[c0:]``) materialises a
+    near-full second copy of the layout per block — for early blocks
+    c0 ~ 0, so with one-deep pipelining two ~full copies live at once; at
+    n=10k that alone OOMs a 16 GB chip (found by the north-star run).
+    Here the only materialised temps are one chunk's words + int8
+    channels, and r0 being traced keeps the jit program count at the
+    (rb, c0-bucket) grid, exactly as before."""
+    n, W = ea.shape[0], ea.shape[2]
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc = jnp.zeros((rb, n - c0), jnp.int32)
+    accn = jnp.zeros((rb, n - c0), jnp.int32)
+    period = int(os.environ.get("TRACS_TPU_BARRIER_PERIOD", "1"))
+    for c in range(n_chunks):
+        if c and c % period == 0:
+            ea, nm, acc, accn = jax.lax.optimization_barrier((ea, nm, acc, accn))
+        end = min((c + 1) * wc, W)
+        eac = jax.lax.slice_in_dim(ea, c * wc, end, axis=2)
+        nmc = jax.lax.slice_in_dim(nm, c * wc, end, axis=1)
+        ba = _unpack_bits(
+            jax.lax.dynamic_slice_in_dim(eac, r0, rb, axis=0)
+        ).reshape(rb, -1)
+        bna = _unpack_bits(jax.lax.dynamic_slice_in_dim(nmc, r0, rb, axis=0))
+        bb = _unpack_bits(jax.lax.slice_in_dim(eac, c0, n, axis=0)).reshape(
+            n - c0, -1
+        )
+        bnb = _unpack_bits(jax.lax.slice_in_dim(nmc, c0, n, axis=0))
+        gn = dot(bna, bnb)
+        acc = acc + dot(ba, bb) - gn
+        accn = accn + gn
+    return acc, accn
+
+
 def snp_distance_split_prefix_device(sa, r0: int, r1: int):
     """(D, NN, c0) — device int32 blocks of the triangle rows [r0, r1)
     against the column suffix [c0, n), c0 = prefix_col_start(n, r0) <= r0 —
@@ -308,18 +352,33 @@ def snp_distance_split_prefix_device(sa, r0: int, r1: int):
     sweep.  Column j of the returned [rb, n-c0] blocks is global column
     j + c0; callers must mask j <= i (the extraction's triangle mask does).
 
-    Both operands are device-cache slices (no host re-upload per block)
-    fed to the plain two-operand ``_dense_split``: measured on v5e at
-    n=2048 this beats a dot(x[:rb], x) unpack-once prefix kernel (the
-    sliced operand defeats XLA's unpack CSE and rematerialises it anyway)
-    and the full-square one-shot (142.7 vs 147.6 vs 158.3 ms gram time;
+    Both operands are cut from the full device-resident layout INSIDE the
+    jitted chunk loop (``_dense_split_ranged``) — no per-block device
+    copies of the layout (the former host-side suffix slice held two
+    near-full copies concurrently and OOMed 16 GB HBM at n=10k) and no
+    host re-upload.  Separate block/suffix unpacks measured faster on v5e
+    than a dot(x[:rb], x) unpack-once kernel (the sliced operand defeats
+    XLA's unpack CSE and rematerialises it anyway) and than the
+    full-square one-shot (142.7 vs 147.6 vs 158.3 ms gram time;
     scripts/triangle_experiment.py).  Suffix widths are bucketed
-    (prefix_col_start) so jit shapes repeat across blocks instead of
-    compiling one program per block."""
-    c0 = prefix_col_start(sa.n_seqs, r0)
-    sblk = _slice_split_device(sa, r0, r1)
-    ssuf = _slice_split_device(sa, c0, sa.n_seqs)
-    D, NN = snp_distance_split_device(sblk, ssuf, with_nn=True)
+    (prefix_col_start) and r0 is a traced scalar, so jit programs repeat
+    across blocks: one compile per (rb, suffix-bucket)."""
+    n = sa.n_seqs
+    c0 = prefix_col_start(n, r0)
+    rb = r1 - r0
+    Wpad, ea, nm, pt = _split_device(sa)
+    wc, n_chunks = plan_chunks(rb + (n - c0), 5, Wpad)
+    m, gn = _dense_split_ranged(
+        ea, nm, jnp.int32(r0), rb=rb, c0=c0, wc=wc, n_chunks=n_chunks
+    )
+    if sa.n_partial:
+        gp = _gram_partial(pt[r0:r1], pt[c0:])
+    else:
+        gp = jnp.zeros((), jnp.int32)
+    cnt = _cnt_device(sa)
+    L32 = jnp.int32(sa.length)
+    D = _assemble_d(m, gp, cnt[r0:r1], cnt[c0:], L32)
+    NN = _assemble_nn(gn, cnt[r0:r1], cnt[c0:], L32)
     return D, NN, c0
 
 
