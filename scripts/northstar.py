@@ -71,6 +71,8 @@ def cli(outdir):
 
     from tracs_tpu.stages.distance import distance_parser
 
+    # n from dates.csv (fast; prep writes one row per FASTA record).  The
+    # assumption is cross-checked post-run against the CSV's sample span.
     n = sum(1 for _ in open(os.path.join(outdir, "dates.csv"))) - 1
     parser = distance_parser(argparse.ArgumentParser())
     args = parser.parse_args([

@@ -364,6 +364,9 @@ def snp_distance_split_prefix_device(sa, r0: int, r1: int):
     (prefix_col_start) and r0 is a traced scalar, so jit programs repeat
     across blocks: one compile per (rb, suffix-bucket)."""
     n = sa.n_seqs
+    # fail fast: dynamic_slice at a traced r0 clamps out-of-range starts,
+    # which would silently return shifted rows instead of erroring
+    assert 0 <= r0 < r1 <= n, f"row range [{r0}, {r1}) outside [0, {n})"
     c0 = prefix_col_start(n, r0)
     rb = r1 - r0
     Wpad, ea, nm, pt = _split_device(sa)

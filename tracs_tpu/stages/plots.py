@@ -1,9 +1,25 @@
 """``plot`` stage: heatmap / pairwise scatter / minor-allele line plots.
 
-Parity with reference tracs/plots.py:457-487 (three plot types sharing the
-pileup-frequency reader).  The scatter plot is interactive plotly HTML in
-the reference; plotly is optional here — when unavailable the same data CSV
-is written and a static matplotlib PNG is produced instead.
+Capability parity with reference tracs/plots.py:457-487 (three plot types
+sharing a pileup-frequency reader), redesigned around flat arrays instead
+of per-contig DataFrame loops:
+
+* frequencies live in ONE stacked ``[L_total, 4]`` float matrix per sample
+  (contigs concatenated, an offset table mapping rows back to contigs) —
+  the reference re-melts a per-contig dict of DataFrames per plot
+  (plots.py:262-334);
+* site selections (match / all-mismatch / variable / min-freq band) are
+  boolean masks over that matrix, and the long-format plot tables are
+  built in one shot from ``np.nonzero`` of the final mask — value- and
+  ordering-compatible with the reference's melt output (column order,
+  allele-major emission, 1-based positions);
+* the heatmap's symmetric matrix is assembled by integer-coded scatter
+  fill + transpose fallback rather than pivot/combine_first
+  (plots.py:133-179), then single-linkage leaf-ordered the same way.
+
+The scatter plot is interactive plotly HTML in the reference; plotly is
+optional here — when unavailable the same data CSV is written and a static
+matplotlib PNG is produced instead.
 """
 
 from __future__ import annotations
@@ -12,7 +28,6 @@ import argparse
 import gzip
 import logging
 import os
-from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -24,6 +39,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.collections import LineCollection  # noqa: E402
 from scipy.cluster.hierarchy import leaves_list, linkage  # noqa: E402
 
+_ALLELES = np.array(list("ACGT"))
 _ALLELE_COLORS = {"A": "#e41a1c", "C": "#377eb8", "G": "#4daf4a", "T": "#984ea3"}
 
 
@@ -83,34 +99,68 @@ def open_file(file_path):
     return open(file_path, "r")
 
 
+def _sample_label(path: str) -> str:
+    return os.path.basename(path).replace(".txt.gz", "")
+
+
+# ---------------------------------------------------------------------------
+# heatmap
+# ---------------------------------------------------------------------------
+
+
+def _symmetric_distance_matrix(df: pd.DataFrame, names: list[str]) -> np.ndarray:
+    """[n, n] float matrix of the 'SNP distance' column over ``names``.
+
+    Direct (A, B) entries win; missing cells fall back to the transposed
+    (B, A) entry; cells present in neither direction stay NaN.  (The value
+    column is always 'SNP distance' regardless of the threshold column —
+    a reference quirk preserved from plots.py:142.)
+    """
+    code = {s: i for i, s in enumerate(names)}
+    n = len(names)
+    mat = np.full((n, n), np.nan)
+    ia = df["sampleA"].map(code).to_numpy()
+    ib = df["sampleB"].map(code).to_numpy()
+    mat[ia, ib] = df["SNP distance"].to_numpy(dtype=float)
+    mirrored = mat.T.copy()
+    take = np.isnan(mat) & ~np.isnan(mirrored)
+    mat[take] = mirrored[take]
+    return mat
+
+
+def _single_linkage_order(mat: np.ndarray) -> np.ndarray:
+    """Leaf order from single-linkage over the matrix ROWS as observation
+    vectors, with NaN (never-compared) cells pushed far away — the same
+    ordering recipe the reference uses for its heatmap axes."""
+    far = np.nanmax(mat) + 100
+    filled = np.where(np.isnan(mat), far, mat)
+    return leaves_list(linkage(filled, method="single"))
+
+
 def plot_heatmap(distance_file, outfile, column="SNP distance", threshold=None,
                  height=7, width=10):
     df = pd.read_csv(distance_file)
     if threshold is not None:
         df = df[df[column] <= threshold]
 
-    heatmap_data = df.pivot(index="sampleA", columns="sampleB", values="SNP distance")
-    samples = sorted(set(df["sampleA"]).union(set(df["sampleB"])))
-    heatmap_data = heatmap_data.combine_first(heatmap_data.T)
-    temp_data = heatmap_data.fillna(heatmap_data.max().max() + 100)
-
-    linkage_matrix = linkage(temp_data, method="single")
-    ordered_indices = leaves_list(linkage_matrix)
-    ordered_samples = [samples[i] for i in ordered_indices]
-    ordered = heatmap_data.reindex(index=ordered_samples, columns=ordered_samples)
+    names = sorted(set(df["sampleA"]).union(df["sampleB"]))
+    mat = _symmetric_distance_matrix(df, names)
+    order = _single_linkage_order(mat)
+    labels = [names[i] for i in order]
 
     fig, ax = plt.subplots(figsize=(width, height))
-    cax = ax.matshow(ordered.values, cmap="viridis")
-    cbar = fig.colorbar(cax)
-    cbar.set_label(column)
-    ax.set_xticks(np.arange(len(ordered_samples)))
-    ax.set_yticks(np.arange(len(ordered_samples)))
-    ax.set_xticklabels(ordered_samples, rotation=90)
-    ax.set_yticklabels(ordered_samples)
+    img = ax.matshow(mat[np.ix_(order, order)], cmap="viridis")
+    fig.colorbar(img).set_label(column)
+    ax.set_xticks(range(len(labels)), labels, rotation=90)
+    ax.set_yticks(range(len(labels)), labels)
     plt.title("Heatmap of " + column)
     plt.savefig(outfile + ".png", dpi=300, bbox_inches="tight")
     plt.close(fig)
-    return
+
+
+# ---------------------------------------------------------------------------
+# pileup frequencies (shared by scatter + line)
+# ---------------------------------------------------------------------------
 
 
 def read_pileup(inputfile, contig_length, require_both_strands=True, keep_contigs="All"):
@@ -135,72 +185,117 @@ def read_pileup(inputfile, contig_length, require_both_strands=True, keep_contig
 
 
 def _contig_lengths(count_file_A, count_file_B, keep_contigs):
-    contig_length_A = Counter()
-    contig_length_B = Counter()
-    for path, lengths in [(count_file_A, contig_length_A), (count_file_B, contig_length_B)]:
-        with open_file(path) as infile:
-            for line in infile:
-                line = line.strip().split()
-                if ("All" in keep_contigs) or (line[0] in keep_contigs):
-                    if lengths[line[0]] < int(line[1]):
-                        lengths[line[0]] = int(line[1])
+    """Union of contig -> max position over both pileups, in order of first
+    appearance (file A's contigs first).  Raises when the files share no
+    contig names (reference plots.py:244-246)."""
+    per_file = []
+    for path in (count_file_A, count_file_B):
+        lengths: dict[str, int] = {}
+        with open_file(path) as fh:
+            for line in fh:
+                fields = line.split(maxsplit=2)
+                contig = fields[0]
+                if ("All" in keep_contigs) or (contig in keep_contigs):
+                    pos = int(fields[1])
+                    if lengths.get(contig, 0) < pos:
+                        lengths[contig] = pos
+        per_file.append(lengths)
 
-    if len(set(contig_length_A).intersection(contig_length_B)) == 0:
+    la, lb = per_file
+    if not set(la) & set(lb):
         raise ValueError("No contig names match!")
+    merged = {c: max(n, lb.get(c, 0)) for c, n in la.items()}
+    merged.update({c: n for c, n in lb.items() if c not in la})
+    return merged
 
-    contig_length = Counter()
-    for c in contig_length_A:
-        contig_length[c] = max(contig_length_A[c], contig_length_B.get(c, 0))
-    for c in contig_length_B:
-        if c not in contig_length_A:
-            contig_length[c] = contig_length_B[c]
-    return contig_length
+
+class _Stacked:
+    """Contig-stacked view of a read_pileup result: one [L_total, 4]
+    frequency matrix plus the bookkeeping to label rows by contig and
+    local position.  All site selections below are vectorised over this."""
+
+    def __init__(self, freqs_by_contig: dict[str, np.ndarray]):
+        self.contigs = list(freqs_by_contig)
+        sizes = [freqs_by_contig[c].shape[0] for c in self.contigs]
+        self.freq = (
+            np.concatenate([freqs_by_contig[c] for c in self.contigs])
+            if self.contigs else np.zeros((0, 4))
+        )
+        self.starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        # contig index and 0-based local position of every stacked row
+        self.contig_idx = np.repeat(np.arange(len(sizes)), sizes)
+        self.local_pos = np.arange(self.freq.shape[0]) - self.starts[self.contig_idx]
+
+
+def _long_frame(st: _Stacked, keep: np.ndarray, sample_label: str,
+                positions: np.ndarray | None = None) -> dict[str, np.ndarray]:
+    """Column arrays of the long-format rows selected by the [L, 4] boolean
+    ``keep`` mask, ordered (contig, allele, position) — the order the
+    reference's per-contig melt loop emits.  ``positions`` overrides the
+    0-based position vector (the line plot numbers positions within its
+    selected-site subset)."""
+    site, allele = np.nonzero(keep)
+    order = np.lexsort(((positions if positions is not None else st.local_pos)[site],
+                        allele, st.contig_idx[site]))
+    site, allele = site[order], allele[order]
+    pos0 = (positions if positions is not None else st.local_pos)[site]
+    return {
+        "position": pos0 + 1,
+        "allele": _ALLELES[allele],
+        "frequency": st.freq[site, allele],
+        "sample": np.repeat(sample_label, len(site)),
+        "contig": np.asarray(st.contigs, dtype=object)[st.contig_idx[site]],
+        "_site": site,
+        "_allele": allele,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scatter
+# ---------------------------------------------------------------------------
 
 
 def _pairwise_frame(count_file_A, count_file_B, fA, fB, min_freq, with_match=True):
-    columns = ["A", "C", "G", "T"]
-    allmismatches = {}
-    variablesites = {}
-    matches = {}
-    for contig in fA:
-        allmismatch = ((fA[contig] > 0) & (fB[contig] > 0)).sum(axis=1) == 0
-        allmismatches[contig] = (
-            allmismatch
-            & (np.sum(fA[contig], axis=1) > 0)
-            & (np.sum(fB[contig], axis=1) > 0)
-        )
-        variablesites[contig] = ((fA[contig] + fB[contig]) > min_freq).sum(axis=1) > 1
-        temp = pd.DataFrame((fA[contig] > 0) & (fB[contig] > 0), columns=columns)
-        matches[contig] = np.array(
-            temp.melt(ignore_index=False, var_name="allele", value_name="match")["match"]
-        )
+    """Long-format site/allele table for the pairwise scatter.
 
-    pdf = None
-    for sample, f in zip([count_file_A, count_file_B], [fA, fB]):
-        for contig in f:
-            df = pd.DataFrame(f[contig], columns=columns)
-            df["allmismatch"] = allmismatches[contig]
-            df["variable"] = variablesites[contig]
-            long_df = df.melt(
-                ignore_index=False, var_name="allele", value_name="frequency",
-                id_vars=["allmismatch", "variable"],
-            )
-            long_df["match"] = matches[contig]
-            long_df = long_df[long_df["frequency"] >= min_freq]
-            long_df = long_df[
-                (long_df["frequency"] <= 1 - min_freq)
-                | long_df["variable"]
-                | long_df["allmismatch"]
-            ]
-            long_df.reset_index(inplace=True)
-            if long_df.shape[0] < 1:
-                continue
-            long_df.rename(columns={"index": "position"}, inplace=True)
-            long_df["position"] += 1
-            long_df["sample"] = os.path.basename(sample).replace(".txt.gz", "")
-            long_df["contig"] = contig
-            pdf = long_df if pdf is None else pd.concat([pdf, long_df], ignore_index=True)
-    return pdf
+    Selection semantics (value-parity with reference plots.py:262-334):
+      * ``match``        — allele present (>0) in both samples at the site;
+      * ``allmismatch``  — both samples covered but NO shared allele;
+      * ``variable``     — >1 allele with summed frequency above min_freq;
+      * rows need frequency >= min_freq AND (frequency <= 1-min_freq OR
+        variable OR allmismatch) — fixed near-1.0 calls shared by both
+        samples are uninformative and dropped.
+
+    Everything is one pass of boolean masks over the stacked [L, 4]
+    matrices; rows come out (sample, contig, allele, position)-ordered
+    like the reference's melt loop.  Returns a DataFrame or None.
+    """
+    sa, sb = _Stacked(fA), _Stacked(fB)
+    present_a, present_b = sa.freq > 0, sb.freq > 0
+    match = present_a & present_b                                   # [L, 4]
+    covered = present_a.any(axis=1) & present_b.any(axis=1)         # [L]
+    allmismatch = covered & ~match.any(axis=1)
+    variable = ((sa.freq + sb.freq) > min_freq).sum(axis=1) > 1
+
+    frames = []
+    for st, path in ((sa, count_file_A), (sb, count_file_B)):
+        keep = (st.freq >= min_freq) & (
+            (st.freq <= 1 - min_freq) | variable[:, None] | allmismatch[:, None]
+        )
+        cols = _long_frame(st, keep, _sample_label(path))
+        site, allele = cols.pop("_site"), cols.pop("_allele")
+        frames.append(pd.DataFrame({
+            "position": cols["position"],
+            "allmismatch": allmismatch[site],
+            "variable": variable[site],
+            "allele": cols["allele"],
+            "frequency": cols["frequency"],
+            "match": match[site, allele],
+            "sample": cols["sample"],
+            "contig": cols["contig"],
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    return pdf if len(pdf) else None
 
 
 def plot_pairwise_scatter(count_file_A, count_file_B, outfile,
@@ -237,34 +332,55 @@ def plot_pairwise_scatter(count_file_A, count_file_B, outfile,
         offline.plot(fig, filename=outfile + ".html", auto_open=False)
     except ImportError:
         logging.warning("plotly not available; writing static PNG instead of HTML")
-        contigs = pdf["contig"].unique()
-        samples = pdf["sample"].unique()
-        fig, axes = plt.subplots(
-            len(samples), len(contigs), figsize=(10, 7), squeeze=False, sharey=True
-        )
-        for si, sample in enumerate(samples):
-            for ci, contig in enumerate(contigs):
-                sub = pdf[(pdf["sample"] == sample) & (pdf["contig"] == contig)]
-                ax = axes[si][ci]
-                for allele, color in _ALLELE_COLORS.items():
-                    a = sub[sub["allele"] == allele]
-                    filled = a[a["match"]]
-                    opened = a[~a["match"]]
-                    ax.scatter(filled["position"], filled["frequency"], s=8,
-                               color=color, alpha=0.7, label=allele)
-                    ax.scatter(opened["position"], opened["frequency"], s=8,
-                               facecolors="none", edgecolors=color, alpha=0.7)
-                ax.set_ylim(-0.05, 1.05)
-                ax.set_title(f"{sample} / {contig}", fontsize=8)
-        axes[0][0].legend(fontsize=6)
-        plt.savefig(outfile + ".png", dpi=300, bbox_inches="tight")
-        plt.close(fig)
-    return
+        _scatter_png(pdf, outfile)
+
+
+def _scatter_png(pdf, outfile):
+    """Static fallback: one panel per (sample, contig), filled markers for
+    matching alleles, open markers otherwise."""
+    samples = pdf["sample"].unique()
+    contigs = pdf["contig"].unique()
+    fig, axes = plt.subplots(
+        len(samples), len(contigs), figsize=(10, 7), squeeze=False, sharey=True
+    )
+    for (si, sample), (ci, contig) in (
+        ((si, s), (ci, c))
+        for si, s in enumerate(samples) for ci, c in enumerate(contigs)
+    ):
+        panel = pdf[(pdf["sample"] == sample) & (pdf["contig"] == contig)]
+        ax = axes[si][ci]
+        for allele, color in _ALLELE_COLORS.items():
+            rows = panel[panel["allele"] == allele]
+            hit = rows["match"].to_numpy(dtype=bool)
+            ax.scatter(rows["position"][hit], rows["frequency"][hit], s=8,
+                       color=color, alpha=0.7, label=allele)
+            ax.scatter(rows["position"][~hit], rows["frequency"][~hit], s=8,
+                       facecolors="none", edgecolors=color, alpha=0.7)
+        ax.set_ylim(-0.05, 1.05)
+        ax.set_title(f"{sample} / {contig}", fontsize=8)
+    axes[0][0].legend(fontsize=6)
+    plt.savefig(outfile + ".png", dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# line
+# ---------------------------------------------------------------------------
 
 
 def plot_pairwise_line(count_file_A, count_file_B, outfile, keep_contigs="All",
                        require_both_strands=True, min_freq=0.01, alpha=0.1,
                        height=7, width=10):
+    """Minor-allele frequency shift lines at consensus-differing sites.
+
+    Site selection (value-parity with reference plots.py:336-455): keep
+    sites whose argmax allele differs between the samples, then alleles
+    with frequency inside [min_freq, 1-min_freq], then drop (allele,
+    contig, position) singletons so every drawn line has both endpoints.
+    The CSV's ``position`` column numbers sites WITHIN the selected
+    subset, 1-based — a reference quirk (its per-contig DataFrame is
+    built from the boolean-indexed subset, so reset_index renumbers).
+    """
     logging.info("Counting entries in pileup files...")
     contig_length = _contig_lengths(count_file_A, count_file_B, keep_contigs)
 
@@ -272,56 +388,54 @@ def plot_pairwise_line(count_file_A, count_file_B, outfile, keep_contigs="All",
     fA = read_pileup(count_file_A, contig_length, require_both_strands, keep_contigs)
     fB = read_pileup(count_file_B, contig_length, require_both_strands, keep_contigs)
 
-    columns = ["A", "C", "G", "T"]
-    consensus_diff = {}
-    for contig in fA:
-        consensus_diff[contig] = np.argmax(fA[contig], axis=1) != np.argmax(fB[contig], axis=1)
+    sa, sb = _Stacked(fA), _Stacked(fB)
+    diff = sa.freq.argmax(axis=1) != sb.freq.argmax(axis=1)  # [L]
+    # subset-local position per site: rank among selected sites of the
+    # same contig (only meaningful where diff holds)
+    rank_all = np.cumsum(diff) - 1
+    first_of_contig = np.zeros(len(diff), dtype=np.int64)
+    for c in range(len(sa.contigs)):
+        rows = sa.contig_idx == c
+        sel = diff & rows
+        first_of_contig[rows] = rank_all[sel][0] if sel.any() else 0
+    subset_pos = rank_all - first_of_contig
 
-    pdf = None
-    for sample, f in zip([count_file_A, count_file_B], [fA, fB]):
-        for contig in f:
-            df = pd.DataFrame(f[contig][consensus_diff[contig], :], columns=columns)
-            long_df = df.melt(ignore_index=False, var_name="allele", value_name="frequency")
-            long_df = long_df[long_df["frequency"] >= min_freq]
-            long_df = long_df[(long_df["frequency"] <= 1 - min_freq)]
-            long_df.reset_index(inplace=True)
-            if long_df.shape[0] < 1:
-                continue
-            long_df.rename(columns={"index": "position"}, inplace=True)
-            long_df["position"] += 1
-            long_df["sample"] = os.path.basename(sample).replace(".txt.gz", "")
-            long_df["contig"] = contig
-            pdf = long_df if pdf is None else pd.concat([pdf, long_df], ignore_index=True)
-
-    if pdf is None:
+    frames = []
+    for st, path, code in ((sa, count_file_A, 1), (sb, count_file_B, 0)):
+        band = (st.freq >= min_freq) & (st.freq <= 1 - min_freq)
+        cols = _long_frame(st, band & diff[:, None], _sample_label(path),
+                           positions=subset_pos)
+        cols.pop("_site"), cols.pop("_allele")
+        cols["sample_code"] = np.repeat(code, len(cols["position"]))
+        frames.append(pd.DataFrame(cols))
+    pdf = pd.concat(frames, ignore_index=True)
+    if not len(pdf):
         logging.warning("Nothing to plot!")
         return
 
-    logging.info("Generating figure...")
-    pdf["sample_code"] = (
-        pdf["sample"] == os.path.basename(count_file_A).replace(".txt.gz", "")
-    ) * 1
-    pdf = pdf.groupby(["allele", "contig", "position"]).filter(lambda x: len(x) > 1)
-    groups = pdf.groupby(["allele", "contig", "position"])
+    # drop singleton (allele, contig, position) groups; remaining groups
+    # are the line segments (one endpoint per sample)
+    key = pd.MultiIndex.from_frame(pdf[["allele", "contig", "position"]])
+    counts = key.value_counts()
+    pdf = pdf[key.isin(counts[counts > 1].index)]
 
-    lines = [
-        np.column_stack([group["sample_code"], group["frequency"]])
-        for _name, group in groups
+    segs = [
+        np.column_stack([grp["sample_code"], grp["frequency"]])
+        for _k, grp in pdf.groupby(["allele", "contig", "position"], sort=True)
     ]
-    lc = LineCollection(lines, linewidths=0.5, alpha=alpha)
-
     fig, ax = plt.subplots(figsize=(width, height))
-    ax.add_collection(lc)
+    ax.add_collection(LineCollection(segs, linewidths=0.5, alpha=alpha))
     ax.set_xticks([0, 1])
-    snames = [os.path.basename(n).split(".")[0] for n in [count_file_A, count_file_B]]
-    ax.set_xticklabels(snames, rotation=90)
+    ax.set_xticklabels(
+        [os.path.basename(p).split(".")[0] for p in (count_file_A, count_file_B)],
+        rotation=90,
+    )
     ax.set_xlabel("Sample")
     ax.set_ylabel("Frequency")
     ax.set_title("Minor allele frequency by sample")
     plt.savefig(outfile + ".png", dpi=300, bbox_inches="tight")
     plt.close(fig)
     pdf.to_csv(outfile + ".csv", index=False)
-    return
 
 
 def plots(args):
@@ -347,7 +461,6 @@ def plots(args):
             args.input_files[0], args.output_file, column=args.column_name,
             threshold=args.threshold, height=args.height, width=args.width,
         )
-    return
 
 
 def main():
@@ -355,7 +468,6 @@ def main():
     parser = plots_parser(parser)
     args = parser.parse_args()
     args.func(args)
-    return
 
 
 if __name__ == "__main__":
