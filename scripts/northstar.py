@@ -66,7 +66,7 @@ def prep(outdir, n=10_000, L=1_000_000):
     print("# prep done", file=sys.stderr)
 
 
-def cli(outdir):
+def cli(outdir, filt=0):
     import argparse
 
     from tracs_tpu.stages.distance import distance_parser
@@ -74,19 +74,20 @@ def cli(outdir):
     # n from dates.csv (fast; prep writes one row per FASTA record).  The
     # assumption is cross-checked post-run against the CSV's sample span.
     n = sum(1 for _ in open(os.path.join(outdir, "dates.csv"))) - 1
+    tag = "_filter" if filt else ""
     parser = distance_parser(argparse.ArgumentParser())
     args = parser.parse_args([
         "--msa", os.path.join(outdir, "big.fasta"),
         "--meta", os.path.join(outdir, "dates.csv"),
-        "-o", os.path.join(outdir, "dists.csv"),
+        "-o", os.path.join(outdir, f"dists{tag}.csv"),
         "-D", str(SNP_D), "--row-block", str(ROW_BLOCK), "--mesh", "off",
-    ])
+    ] + (["--filter"] if filt else []))
     t0 = time.time()
     args.func(args)
     wall = time.time() - t0
-    rows = sum(1 for _ in open(os.path.join(outdir, "dists.csv"))) - 1
+    rows = sum(1 for _ in open(os.path.join(outdir, f"dists{tag}.csv"))) - 1
     out = {
-        "phase": "cli", "n": n, "wall_s": round(wall, 1),
+        "phase": "cli" + tag, "n": n, "wall_s": round(wall, 1),
         "stage_pairs_per_s": round(n * n / wall, 0), "rows": rows,
     }
     print(json.dumps(out))

@@ -1128,7 +1128,7 @@ def pairsnp_stream(
                 triangle
                 and start_row == 0
                 and os.environ.get("TRACS_TPU_MESH_RING", "1") != "0"
-                and RingCoo.fits(sa.n_seqs, mesh)
+                and RingCoo.fits(sa.n_seqs, mesh, n_words=sa.excl.shape[2])
             ):
                 # work-efficient engine: triangle ring + per-stripe device
                 # COO extraction (half the MACs of per-block full-width

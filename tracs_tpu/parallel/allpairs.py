@@ -228,7 +228,13 @@ def _ring_coo(excl, nmask, part, cnt_blk, cnt_all, *, n_dp, wc, n_chunks, L,
 # each [B, n_pad] int32).  Above this the engine would risk HBM OOM on runs
 # that stream fine block-by-block, so pairsnp_stream falls back to
 # ShardedSweep (which holds only one row block of output at a time).
+# (Shared with the auto-mesh planner: parallel/mesh.py::RING_STRIPE_BYTES.)
 _RING_STRIPE_BYTES = int(os.environ.get("TRACS_TPU_RING_BYTES", 4 << 30))
+
+# whole-device HBM the ring may assume for operands + stripes + the gram
+# chunk temps (ops/pairsnp.py::_CHUNK_BYTES_BUDGET); v5e has 16 GB — leave
+# headroom for XLA scratch and the packed-survivor arrays
+_DEVICE_HBM_BYTES = int(os.environ.get("TRACS_TPU_DEVICE_HBM_BYTES", 14 << 30))
 
 
 class RingCoo:
@@ -259,9 +265,35 @@ class RingCoo:
         B = pad_to(max(n, 1), n_dp) // n_dp
         return 4 * B * (B * n_dp) * 4
 
+    @staticmethod
+    def operand_bytes(n: int, mesh: Mesh, n_words: int) -> int:
+        """Per-device bytes of the packed operands the ring keeps resident:
+        the device's own stripe plus the travelling copy, 5 word-planes
+        each (4 exclusive + N mask), sharded over sp."""
+        n_dp = int(mesh.shape["dp"])
+        n_sp = int(mesh.shape["sp"])
+        B = pad_to(max(n, 1), n_dp) // n_dp
+        w_shard = pad_to(max(n_words, 1), 8 * n_sp) // n_sp
+        return 2 * 5 * B * w_shard * 4
+
     @classmethod
-    def fits(cls, n: int, mesh: Mesh) -> bool:
-        return cls.stripe_bytes(n, mesh) <= _RING_STRIPE_BYTES
+    def fits(cls, n: int, mesh: Mesh, n_words: int | None = None) -> bool:
+        """Whether a ring dispatch at this (n, mesh[, genome length]) stays
+        inside the HBM budgets.  Without ``n_words`` only the stripe-output
+        budget is checked (the round-3 behavior); with it the resident
+        operands and the gram chunk-temp budget are accounted too, so a
+        long-genome run falls back to the block-streamed ShardedSweep
+        instead of dispatching a ring destined to OOM mid-sweep."""
+        stripes = cls.stripe_bytes(n, mesh)
+        if stripes > _RING_STRIPE_BYTES:
+            return False
+        if n_words is not None:
+            from tracs_tpu.ops.pairsnp import _CHUNK_BYTES_BUDGET
+
+            total = stripes + cls.operand_bytes(n, mesh, n_words) + _CHUNK_BYTES_BUDGET
+            if total > _DEVICE_HBM_BYTES:
+                return False
+        return True
 
     def __init__(self, sa, mesh: Mesh, dist: int, capacity: int | None = None):
         self.sa = sa

@@ -19,27 +19,75 @@ processes; dp rides DCN across hosts, sp stays on ICI within a slice.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
+# Per-device byte budget for the triangle-ring engine's stripe tensors
+# (m/n grams + assembled D/NN, each [B, n_pad] int32).  Shared with
+# parallel/allpairs.py::RingCoo — above it the ring risks HBM OOM on runs
+# that stream fine block-by-block, so both the auto-mesh planner and the
+# engine selection treat it as the feasibility line.
+RING_STRIPE_BYTES = int(os.environ.get("TRACS_TPU_RING_BYTES", 4 << 30))
+
+# Ring arithmetic intensity: a ring step computes a [B, B] gram (B*5*32
+# MACs per rotated operand word of 4 bytes => ~8*B int8 MACs/byte, genome-
+# length independent).  Stripes thinner than this cannot hide the ring's
+# operand rotation behind their own MXU work, so the planner concedes
+# devices to sp instead of slicing dp thinner.
+_MIN_STRIPE_ROWS = int(os.environ.get("TRACS_TPU_MESH_MIN_STRIPE", "512"))
+
+
+def _divisors(n: int) -> list[int]:
+    out = set()
+    for d in range(1, int(math.isqrt(n)) + 1):
+        if n % d == 0:
+            out.update((d, n // d))
+    return sorted(out)
+
 
 def best_mesh_shape(n_devices: int, n_samples: int | None = None, n_words: int | None = None):
-    """Pick (dp, sp) for n_devices.  Prefers dp (sample blocks) since the
-    all-pairs workload is quadratic in samples and only linear in positions;
-    sp>1 is chosen when sample blocks would be degenerate (few samples,
-    long genomes)."""
+    """Pick (dp, sp) for n_devices.
+
+    dp (sample blocks) is the quadratic axis and wins by default: the
+    per-device stripe output of the triangle ring scales as n^2/dp, so
+    more dp strictly lowers HBM pressure.  Devices are conceded to sp
+    (packed-word shards) when stripes would drop below _MIN_STRIPE_ROWS
+    rows — too thin to hide the ring's operand rotation behind their own
+    MXU work (per-step intensity ~ 8*B MACs/rotated byte, independent of
+    genome length) — which covers both the scarce-sample case and
+    medium-n long-genome runs where position sharding cuts ring traffic.
+
+    ``n_words`` (packed word count, ceil(L/32)) bounds the concession:
+    sp never exceeds n_words // 8 (a position shard below 8 words is pure
+    padding — the engines pad words to 8*sp), and shapes whose ring
+    stripes would blow RING_STRIPE_BYTES are avoided when any feasible
+    shape exists (none exists at very large n: then all-dp minimises the
+    stripes and the streaming engine takes over from the ring anyway).
+    """
     if n_devices <= 1:
         return 1, 1
-    # prefer all-dp unless samples are scarce relative to devices
-    if n_samples is not None and n_samples < 2 * n_devices:
-        # give positions the surplus
-        dp = max(1, n_samples // 2)
-        while n_devices % dp:
-            dp -= 1
-        return dp, n_devices // dp
-    return n_devices, 1
+    if n_samples is None:
+        return n_devices, 1
+    sp_cap = n_devices
+    if n_words is not None:
+        sp_cap = max(1, min(sp_cap, n_words // 8))
+
+    def n_pad(dp):
+        return -(-max(n_samples, 1) // dp) * dp
+
+    cands = [d for d in _divisors(n_devices) if n_devices // d <= sp_cap]
+    feasible = [
+        d for d in cands if 16 * n_pad(d) * (n_pad(d) // d) <= RING_STRIPE_BYTES
+    ]
+    pool = feasible or cands
+    fat = [d for d in pool if -(-n_samples // d) >= _MIN_STRIPE_ROWS]
+    # fat stripes available: take every device as a dp stripe (largest dp);
+    # otherwise fewest, fattest stripes (smallest dp) and sp soaks the rest
+    dp = max(fat) if fat else min(pool)
+    return dp, n_devices // dp
 
 
 def make_mesh(dp: int, sp: int = 1, devices=None) -> Mesh:
@@ -70,13 +118,16 @@ def to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
+def resolve_mesh(spec: str | None = "auto", *, n_samples: int | None = None,
+                 n_words: int | None = None) -> Mesh | None:
     """Resolve a ``--mesh`` CLI / TRACS_TPU_MESH spec to a device mesh.
 
-    * ``"auto"`` (or None): all visible devices, dp-major
-      (``best_mesh_shape``); returns None on a single device so callers
-      keep the plain single-chip path.  Under multi-process it stays on
-      this process's own chips (SPMD safety — see below).
+    * ``"auto"`` (or None): all visible devices, shaped by
+      ``best_mesh_shape`` — pass ``n_samples``/``n_words`` (sample count
+      and packed word count of the workload) so the dp/sp split is
+      HBM- and genome-length-aware; returns None on a single device so
+      callers keep the plain single-chip path.  Under multi-process it
+      stays on this process's own chips (SPMD safety — see below).
     * ``"off"``: force single-device.
     * ``"DPxSP"`` (e.g. ``"4x2"``): explicit shape over the global device
       list (spans processes under jax.distributed).
@@ -96,7 +147,7 @@ def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
         n = len(jax.devices())
         if n <= 1:
             return None
-        return make_mesh(*best_mesh_shape(n))
+        return make_mesh(*best_mesh_shape(n, n_samples, n_words))
     if spec == "auto":
         if jax.process_count() > 1:
             # SPMD safety: a global mesh is only valid when EVERY process
@@ -106,11 +157,14 @@ def resolve_mesh(spec: str | None = "auto") -> Mesh | None:
             devices = jax.local_devices()
             if len(devices) <= 1:
                 return None
-            return make_mesh(*best_mesh_shape(len(devices)), devices=devices)
+            return make_mesh(
+                *best_mesh_shape(len(devices), n_samples, n_words),
+                devices=devices,
+            )
         n = len(jax.devices())
         if n <= 1:
             return None
-        return make_mesh(*best_mesh_shape(n))
+        return make_mesh(*best_mesh_shape(n, n_samples, n_words))
     try:
         dp, sp = (int(t) for t in spec.split("x"))
     except ValueError:

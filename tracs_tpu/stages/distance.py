@@ -139,10 +139,22 @@ def distance(args):
                 dates[line[0]] = (line[1], date.fromisoformat(line[1]))
 
     # multi-chip: resolve the mesh once; any >1-device mesh routes through
-    # the streaming driver (row blocks are how the sharded sweep is fed)
+    # the streaming driver (row blocks are how the sharded sweep is fed).
+    # 'auto' shapes get the workload dims (sample count + packed word
+    # count of the first MSA) so the dp/sp split is HBM/length-aware —
+    # one O(bytes) peek next to the O(n^2 L) work it informs.
+    import jax
+
     from tracs_tpu.parallel.mesh import resolve_mesh
 
-    args.resolved_mesh = resolve_mesh(getattr(args, "mesh", None))
+    spec = getattr(args, "mesh", None)
+    n_peek = w_peek = None
+    if len(jax.devices()) > 1 and (
+        (spec or os.environ.get("TRACS_TPU_MESH", "auto")).strip().lower()
+        in ("auto", "global")
+    ):
+        n_peek, w_peek = _peek_fasta_dims(args.msa_files[0])
+    args.resolved_mesh = resolve_mesh(spec, n_samples=n_peek, n_words=w_peek)
     if args.resolved_mesh is not None:
         logging.info(
             "Running on a %s device mesh",
@@ -288,6 +300,43 @@ def _open_any(path):
     if str(path).endswith(".gz"):
         return gzip.open(path, "rt")
     return open(path, "r")
+
+
+def _peek_fasta_dims(path):
+    """(n_samples, n_words) of one MSA, for shaping the auto mesh.
+
+    The first record is walked line-by-line for its length; the remaining
+    headers are counted in bulk 16 MB binary chunks (no per-line Python
+    for multi-GB files).  Returns (None, None) when unreadable — the mesh
+    planner then falls back to its dimension-free default."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    try:
+        with opener(path, "rb") as fh:
+            n = 0
+            length = 0
+            for line in fh:
+                if line.startswith(b">"):
+                    n += 1
+                    if n == 2:
+                        break
+                elif n == 1:
+                    length += len(line.rstrip())
+            prev_nl = True
+            while True:
+                chunk = fh.read(1 << 24)
+                if not chunk:
+                    break
+                n += chunk.count(b"\n>")
+                if prev_nl and chunk.startswith(b">"):
+                    n += 1
+                prev_nl = chunk.endswith(b"\n")
+    except OSError:
+        return None, None
+    if n == 0 or length == 0:
+        return None, None
+    return n, (length + 31) // 32
 
 
 def _distance_streaming(args, dates):
