@@ -255,3 +255,127 @@ def test_plan_chunks_budget_accounting():
     assert n_chunks == -(-W // wc)
     # and chunks stay lane-aligned
     assert wc % 256 == 0 or wc == W or wc <= 256
+
+
+# ---------------------------------------------------------------------------
+# RingCoo fallback branches under realistic survivor distributions
+# (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_seqs(rng, n, L, cluster_size, n_mut=6):
+    """Transmission-cluster structure: within-cluster pairs differ by at
+    most 2*n_mut sites, cross-cluster pairs by ~0.75*L — so a small SNP
+    threshold keeps exactly the within-cluster pairs."""
+    chars = np.array(list("ACGT"))
+    n_bases = (n + cluster_size - 1) // cluster_size
+    bases = [rng.choice(chars, size=L) for _ in range(n_bases)]
+    seqs = []
+    for i in range(n):
+        s = bases[i // cluster_size].copy()
+        idx = rng.choice(L, size=n_mut, replace=False)
+        s[idx] = rng.choice(chars, size=n_mut)
+        seqs.append("".join(s))
+    return seqs
+
+
+def _spy_reextraction(monkeypatch):
+    import tracs_tpu.ops.pairsnp as pp
+
+    calls = []
+    real = pp._stream_block_sparse
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pp, "_stream_block_sparse", spy)
+    return calls
+
+
+@requires_8dev
+def test_ring_capacity_overflow_reextracts(rng, monkeypatch):
+    """Survivor count above the stripe capacity (clustered data, ~24%
+    density vs a forced tiny buffer) must take the full-capacity
+    re-extraction fallback with byte-identical output."""
+    import tracs_tpu.ops.pairsnp as pp
+    import tracs_tpu.parallel.allpairs as ap
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    monkeypatch.setattr(pp, "_SURVIVOR_DENSITY_HINT", [None])
+    seqs = _clustered_seqs(rng, 96, 500, 24)
+    base = pairsnp([pack_sequences(seqs)], dist=30, row_block=7)
+    assert len(base[0]) == 4 * (24 * 23 // 2)  # the expected survivor set
+
+    calls = _spy_reextraction(monkeypatch)
+    real_init = ap.RingCoo.__init__
+
+    def tiny_cap(self, *a, **k):
+        real_init(self, *a, **k)
+        self.capacity = 64  # << 276 survivors in the first stripe
+
+    monkeypatch.setattr(ap.RingCoo, "__init__", tiny_cap)
+    over = pairsnp([pack_sequences(seqs)], dist=30, mesh=make_mesh(4, 2))
+    assert calls  # the overflow branch actually ran
+    for x, y in zip(base, over):
+        assert list(x) == list(y)
+
+
+@requires_8dev
+def test_ring_dense_stripe_reextracts(rng, monkeypatch):
+    """A dense stripe (near-identical samples: every pair survives, so
+    2*count exceeds the stripe) must also route through the re-extraction
+    branch and stay byte-identical."""
+    import tracs_tpu.ops.pairsnp as pp
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    monkeypatch.setattr(pp, "_SURVIVOR_DENSITY_HINT", [None])
+    seqs = _clustered_seqs(rng, 40, 300, 40, n_mut=2)  # one cluster
+    base = pairsnp([pack_sequences(seqs)], dist=30, row_block=7)
+    assert len(base[0]) == 40 * 39 // 2  # fully dense
+
+    calls = _spy_reextraction(monkeypatch)
+    over = pairsnp([pack_sequences(seqs)], dist=30, mesh=make_mesh(4, 2))
+    assert calls
+    for x, y in zip(base, over):
+        assert list(x) == list(y)
+
+
+@requires_8dev
+def test_survivor_density_hint_feeds_next_run(rng, monkeypatch):
+    """A completed stream records its survivor density; the next ring run
+    sizes stripe capacities from it (2x margin)."""
+    import tracs_tpu.ops.pairsnp as pp
+    import tracs_tpu.parallel.allpairs as ap
+    from tracs_tpu.ops.pairsnp import pairsnp
+
+    monkeypatch.setattr(pp, "_SURVIVOR_DENSITY_HINT", [None])
+    seqs = _clustered_seqs(rng, 96, 500, 24)
+    hints = []
+    real_init = ap.RingCoo.__init__
+
+    def spy(self, *a, **k):
+        hints.append(k.get("density_hint"))
+        real_init(self, *a, **k)
+
+    monkeypatch.setattr(ap.RingCoo, "__init__", spy)
+    mesh = make_mesh(4, 2)
+    r1 = pairsnp([pack_sequences(seqs)], dist=30, mesh=mesh)
+    want = len(r1[0]) / (96 * 95 // 2)
+    assert pp._SURVIVOR_DENSITY_HINT[0] == pytest.approx(want)
+    r2 = pairsnp([pack_sequences(seqs)], dist=30, mesh=mesh)
+    assert hints == [None, pytest.approx(want)]
+    for x, y in zip(r1, r2):
+        assert list(x) == list(y)
+
+
+def test_plan_capacity_sizing():
+    from tracs_tpu.parallel.allpairs import RingCoo
+
+    # blind default: ~1/64 of the stripe, floored at one small transfer
+    assert RingCoo.plan_capacity(1024, 8192, None) == 1024 * 8192 // 64
+    assert RingCoo.plan_capacity(8, 64, None) == 1 << 14
+    # measured density: 2x margin beats the blind default when denser
+    dense = RingCoo.plan_capacity(1024, 8192, 0.05)
+    assert dense == int(2 * 0.05 * 1024 * 8192) + 1
+    assert dense > RingCoo.plan_capacity(1024, 8192, None)

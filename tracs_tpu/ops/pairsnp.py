@@ -1030,6 +1030,13 @@ def _cached_compact(a: PackedAlignment, b: PackedAlignment):
     return res
 
 
+# survivor density (emitted pairs / total pairs) of the last COMPLETED
+# stream, feeding the next run's speculative extraction capacities: multi-
+# MSA distance runs size the ring stripes / first block from the previous
+# file's measured rate instead of the blind 1/64 default
+_SURVIVOR_DENSITY_HINT = [None]
+
+
 def pairsnp_stream(
     fasta: Sequence[str] | Sequence[PackedAlignment],
     dist: int = INT32_MAX,
@@ -1136,7 +1143,9 @@ def pairsnp_stream(
                 # HBM stripe budget (RingCoo.fits) the block-streamed
                 # ShardedSweep takes over — it holds only one row block of
                 # output at a time and checkpoints per block.
-                ring = RingCoo(sa, mesh, dist)
+                ring = RingCoo(
+                    sa, mesh, dist, density_hint=_SURVIVOR_DENSITY_HINT[0]
+                )
             else:
                 sweep = ShardedSweep(sa, sb, mesh)
     else:
@@ -1150,9 +1159,15 @@ def pairsnp_stream(
             cnt_a_pc = _cnt_packed_device(a_k)
             cnt_b_pc = cnt_a_pc if b_k is a_k else _cnt_packed_device(b_k)
 
+    total_pairs = (
+        a.n_seqs * (a.n_seqs - 1) // 2 if triangle else a.n_seqs * b.n_seqs
+    )
+    emitted = 0
+
     if ring is not None:
         for r0, r1, rows_l, cols, dvals, nvals in ring.stripes():
             rows = rows_l + r0
+            emitted += len(rows)
             if nn_off:
                 nvals = nvals + nn_off
             if filter and len(rows):
@@ -1162,13 +1177,21 @@ def pairsnp_stream(
             else:
                 filt = np.zeros(len(rows), dtype=np.int64)
             yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
+        _SURVIVOR_DENSITY_HINT[0] = emitted / max(1, total_pairs)
         return
 
     # prefix-dot triangle schedule (single-device split path only; the
     # mesh sweep keeps its static full-width DB sharding)
     use_prefix = os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0"
 
-    cap_hint = [1 << 12]  # speculative extraction capacity, adapted per block
+    # speculative extraction capacity: seeded from the last completed
+    # stream's survivor density (2x margin), adapted per block within a run
+    cap_hint = [1 << 12]
+    if _SURVIVOR_DENSITY_HINT[0]:
+        cap_hint[0] = max(
+            1 << 12,
+            int(2 * _SURVIVOR_DENSITY_HINT[0] * row_block * b.n_seqs) + 1,
+        )
 
     def _launch(r0: int, r1: int):
         """Enqueue one block's device work — sweep + fused survivor
@@ -1280,7 +1303,10 @@ def pairsnp_stream(
             )
         else:
             filt = np.zeros(len(rows), dtype=np.int64)
+        emitted += len(rows)
         yield r0, r1, names, rows, cols + col_offset, dvals, filt, nvals
+    if start_row == 0:  # partial (resumed) runs would skew the density
+        _SURVIVOR_DENSITY_HINT[0] = emitted / max(1, total_pairs)
 
 
 def pairsnp(

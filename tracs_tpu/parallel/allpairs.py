@@ -295,7 +295,8 @@ class RingCoo:
                 return False
         return True
 
-    def __init__(self, sa, mesh: Mesh, dist: int, capacity: int | None = None):
+    def __init__(self, sa, mesh: Mesh, dist: int, capacity: int | None = None,
+                 density_hint: float | None = None):
         self.sa = sa
         self.mesh = mesh
         self.dist = int(dist)
@@ -323,13 +324,22 @@ class RingCoo:
         self._cnt_all = _put(cnt, NamedSharding(mesh, P()))
         self._wc, self._n_chunks = plan_chunks(2 * self.B, 5, w_pad // n_sp)
         if capacity is None:
-            # default scales with the stripe: ~1/64 survivor density before
-            # the full-capacity re-extraction fallback kicks in, bounded so
-            # the always-transferred packed array stays small
-            capacity = max(1 << 14, (self.B * n_pad) // 64)
+            capacity = self.plan_capacity(self.B, n_pad, density_hint)
         # power-of-two capacity bounds recompiles across runs
         cap = 1 << max(12, int(np.ceil(np.log2(max(2, capacity)))))
         self.capacity = min(cap, self.B * n_pad)
+
+    @staticmethod
+    def plan_capacity(B: int, n_pad: int, density_hint: float | None) -> int:
+        """Per-stripe speculative extraction capacity (pre power-of-two
+        bucketing).  With a measured survivor density from a previous
+        MSA/run, size to 2x that rate so realistic survivor distributions
+        stop tripping the full-capacity re-extraction fallback; otherwise
+        the blind default covers ~1/64 density, floored so the
+        always-transferred packed array stays one small transfer."""
+        if density_hint is not None and density_hint > 0:
+            return max(1 << 14, int(2 * density_hint * B * n_pad) + 1)
+        return max(1 << 14, (B * n_pad) // 64)
 
     def stripes(self):
         """Yield (r0, r1, rows_local, cols, dvals, nvals) per dp stripe in
