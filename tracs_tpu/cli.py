@@ -12,6 +12,7 @@ from tracs_tpu.stages.build_db import build_db_parser
 from tracs_tpu.stages.cluster import cluster_parser
 from tracs_tpu.stages.combine import combine_parser
 from tracs_tpu.stages.distance import distance_parser
+from tracs_tpu.stages.doctor import doctor_parser
 from tracs_tpu.stages.pipe import pipe_parser
 from tracs_tpu.stages.plots import plots_parser
 from tracs_tpu.stages.threshold import threshold_parser
@@ -33,13 +34,16 @@ def main(argv=None):
     build_db_parser(subparsers.add_parser("build-db"))
     pipe_parser(subparsers.add_parser("pipe"))
     plots_parser(subparsers.add_parser("plot"))
+    doctor_parser(subparsers.add_parser("doctor"))
 
     args = parser.parse_args(argv)
     try:
         func = args.func
     except AttributeError:
         parser.error("Too few inputs. For help, run tracs-tpu --help")
-    func(args)
+    rc = func(args)
+    if isinstance(rc, int) and rc:  # doctor-style preflights signal via exit code
+        raise SystemExit(rc)
     return
 
 
