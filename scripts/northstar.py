@@ -96,15 +96,39 @@ def cli(outdir, filt=0):
 def breakdown(outdir):
     from tracs_tpu.models.transcluster import SECONDS_IN_YEAR, TransClusterCache
     from tracs_tpu.ops.packing import pack_fasta
-    from tracs_tpu.ops.pairsnp import pairsnp_stream
+    from tracs_tpu.ops.pairsnp import (
+        _cached_compact,
+        _split_device,
+        _split_pair,
+        pairsnp_stream,
+    )
     from tracs_tpu.runtime.native import native_format_rows
 
-    t = {"pack": 0.0, "sweep": 0.0, "transcluster": 0.0, "write": 0.0}
+    t = {"pack": 0.0, "compact": 0.0, "split": 0.0, "upload": 0.0,
+         "sweep": 0.0, "transcluster": 0.0, "write": 0.0}
 
     t0 = time.time()
     packed = pack_fasta(os.path.join(outdir, "big.fasta"))
     t["pack"] = time.time() - t0
     n = packed.n_seqs
+
+    # sub-phases the streaming loop normally hides inside its first block:
+    # variant-column compaction, the split-layout host build, and the
+    # one-time device upload + on-device excl/nmask derivation (synced on
+    # an 8-byte reduction — block_until_ready lies through the tunnel)
+    t0 = time.time()
+    comp = _cached_compact(packed, packed)
+    kern = comp[0] if comp is not None else packed
+    t["compact"] = time.time() - t0
+    t0 = time.time()
+    sa, _ = _split_pair(kern, None)
+    t["split"] = time.time() - t0
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    _Wpad, ea, _nm, _pt = _split_device(sa)
+    float(jnp.sum(ea.ravel()[:2].astype(jnp.int64)))
+    t["upload"] = time.time() - t0
 
     from datetime import date as _date
 
@@ -156,7 +180,11 @@ def breakdown(outdir):
 
     out = {
         "phase": "breakdown", "n": n, "rows": total_rows,
-        "pack_s": round(t["pack"], 1), "loop_wall_s": round(wall, 1),
+        "pack_s": round(t["pack"], 1),
+        "compact_s": round(t["compact"], 1),
+        "split_s": round(t["split"], 1),
+        "upload_s": round(t["upload"], 1),
+        "loop_wall_s": round(wall, 1),
         "sweep_s": round(t["sweep"], 1),
         "transcluster_s": round(t["transcluster"], 1),
         "write_s": round(t["write"], 1),

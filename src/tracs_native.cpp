@@ -1,10 +1,13 @@
 // tracs_tpu native host-ingest library.
 //
 // The TPU does the all-pairs math; this library keeps the *host* side fast:
-//   * gzip FASTA parsing + IUPAC bit-plane packing (the reference spends its
-//     ingest time in kseq + per-character bitset stores, src/pairsnp.hpp:62-220;
-//     here packing is a 256-entry nibble LUT + word shifts, OpenMP over
-//     records is unnecessary because parsing is single-stream)
+//   * FASTA parsing + IUPAC bit-plane packing (the reference spends its
+//     ingest time in kseq + per-character bitset stores, src/pairsnp.hpp:62-220).
+//     Plain (uncompressed) files take an mmap + OpenMP-over-records path
+//     with a branchless 256-entry nibble LUT pack — multi-GB/s, found
+//     necessary when the 10 GB north-star ingest measured ~20 MB/s on the
+//     branchy single-stream loop; gzip streams keep the single-pass reader
+//     (decompression serialises anyway) with the same branchless inner loop
 //   * htsbox pileup text parsing into [L, 4] count matrices (the reference
 //     parses per-line in Python, tracs/align.py:449-474 — its slowest host loop)
 //
@@ -19,6 +22,11 @@
 #include <string>
 #include <vector>
 #include <zlib.h>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -77,13 +85,137 @@ struct NibbleLut {
 };
 const NibbleLut kLut;
 
+// Read-only mmap of a PLAIN (non-gzip) file; data()==nullptr when the file
+// is missing, empty, or carries the gzip magic (callers then take the
+// streaming gz path).
+class PlainMap {
+ public:
+  explicit PlainMap(const char* path) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 2) { close(fd); return; }
+    unsigned char magic[2];
+    if (pread(fd, magic, 2, 0) != 2 || (magic[0] == 0x1f && magic[1] == 0x8b)) {
+      close(fd);
+      return;
+    }
+    void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (p == MAP_FAILED) return;
+    data_ = static_cast<const char*>(p);
+    size_ = st.st_size;
+  }
+  ~PlainMap() {
+    if (data_) munmap(const_cast<char*>(data_), size_);
+  }
+  const char* data() const { return data_; }
+  int64_t size() const { return size_; }
+
+ private:
+  const char* data_ = nullptr;
+  int64_t size_ = 0;
+};
+
+// Header offsets ('>' at line start) of a mapped FASTA.
+std::vector<int64_t> fasta_headers(const char* d, int64_t n) {
+  std::vector<int64_t> h;
+  if (n > 0 && d[0] == '>') h.push_back(0);
+  const char* p = d;
+  const char* end = d + n;
+  while ((p = static_cast<const char*>(memchr(p, '\n', end - p))) != nullptr) {
+    ++p;
+    if (p < end && *p == '>') h.push_back(p - d);
+  }
+  return h;
+}
+
+// Sequence length of record r (bytes minus line terminators).
+int64_t record_seq_len(const char* d, int64_t seq_begin, int64_t seq_end) {
+  int64_t len = seq_end - seq_begin;
+  const char* p = d + seq_begin;
+  const char* end = d + seq_end;
+  while ((p = static_cast<const char*>(memchr(p, '\n', end - p))) != nullptr) {
+    len--;
+    if (p > d + seq_begin && p[-1] == '\r') len--;
+    ++p;
+  }
+  return len;
+}
+
+// Branchless pack of one line span into 4 bit-plane accumulators flushed
+// per 32-site word.  `site` advances by the span's char count.
+inline void pack_span(const char* s, const char* e, uint32_t* base, int64_t W,
+                      int64_t& site, uint32_t acc[4]) {
+  for (const char* p = s; p < e; ++p) {
+    const uint8_t nib = kLut.t[static_cast<unsigned char>(*p)];
+    const uint32_t bit = 1u << (site & 31);
+    acc[0] |= (0u - static_cast<uint32_t>(nib & 1)) & bit;
+    acc[1] |= (0u - static_cast<uint32_t>((nib >> 1) & 1)) & bit;
+    acc[2] |= (0u - static_cast<uint32_t>((nib >> 2) & 1)) & bit;
+    acc[3] |= (0u - static_cast<uint32_t>((nib >> 3) & 1)) & bit;
+    ++site;
+    if (!(site & 31)) {
+      const int64_t w = (site >> 5) - 1;
+      base[w] = acc[0];
+      base[W + w] = acc[1];
+      base[2 * W + w] = acc[2];
+      base[3 * W + w] = acc[3];
+      acc[0] = acc[1] = acc[2] = acc[3] = 0;
+    }
+  }
+}
+
+inline void pack_flush_tail(uint32_t* base, int64_t W, int64_t site,
+                            const uint32_t acc[4]) {
+  if (site & 31) {
+    const int64_t w = site >> 5;
+    base[w] = acc[0];
+    base[W + w] = acc[1];
+    base[2 * W + w] = acc[2];
+    base[3 * W + w] = acc[3];
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 // First pass: count records and validate equal lengths.
 // Returns n_seqs (>=0) or a negative error code; *seq_len receives L.
+// Plain files go through mmap + memchr header scan with the per-record
+// length validation parallelised; gzip streams keep the line reader.
 int64_t tn_fasta_scan(const char* path, int64_t* seq_len) {
+  {
+    PlainMap m(path);
+    if (m.data() != nullptr) {
+      const char* d = m.data();
+      const int64_t size = m.size();
+      std::vector<int64_t> heads = fasta_headers(d, size);
+      const int64_t n = static_cast<int64_t>(heads.size());
+      if (n == 0) { *seq_len = 0; return 0; }
+      std::vector<int64_t> bounds(n + 1);
+      for (int64_t i = 0; i < n; ++i) bounds[i] = heads[i];
+      bounds[n] = size;
+      int64_t L = -1;
+      int bad = 0;
+#pragma omp parallel for schedule(dynamic, 16)
+      for (int64_t i = 0; i < n; ++i) {
+        const char* nl = static_cast<const char*>(
+            memchr(d + bounds[i], '\n', bounds[i + 1] - bounds[i]));
+        const int64_t seq_begin = nl ? (nl - d) + 1 : bounds[i + 1];
+        const int64_t li = record_seq_len(d, seq_begin, bounds[i + 1]);
+#pragma omp critical
+        {
+          if (L < 0) L = li;
+          else if (li != L) bad = 1;
+        }
+      }
+      if (bad) return -2;  // variable sequence lengths
+      *seq_len = (L < 0 ? 0 : L);
+      return n;
+    }
+  }
   GzReader r(path);
   if (!r.ok()) return -1;
   std::string line;
@@ -112,20 +244,74 @@ int64_t tn_fasta_scan(const char* path, int64_t* seq_len) {
 }
 
 // Second pass: pack into [n, 4, W] uint32 planes (W = ceil(L/32)) and copy
-// names (first whitespace token) into fixed-width slots.
+// names (first whitespace token) into fixed-width slots.  Plain files:
+// mmap + OpenMP over records (each record owns its plane rows — no
+// sharing), branchless LUT pack flushed per 32-site word.  Gzip streams:
+// single pass with the same branchless span pack.
 int64_t tn_fasta_pack(const char* path, uint32_t* planes, int64_t n_seqs,
                       int64_t L, char* names, int64_t name_cap) {
+  const int64_t W = (L + 31) / 32;
+  {
+    PlainMap m(path);
+    if (m.data() != nullptr) {
+      const char* d = m.data();
+      const int64_t size = m.size();
+      std::vector<int64_t> heads = fasta_headers(d, size);
+      const int64_t n = static_cast<int64_t>(heads.size());
+      if (n > n_seqs) return -3;
+      int overflow = 0;
+#pragma omp parallel for schedule(dynamic, 4)
+      for (int64_t rec = 0; rec < n; ++rec) {
+        const int64_t rec_end = (rec + 1 < n) ? heads[rec + 1] : size;
+        const char* nl = static_cast<const char*>(
+            memchr(d + heads[rec], '\n', rec_end - heads[rec]));
+        int64_t hdr_end = nl ? (nl - d) : rec_end;  // exclusive of '\n'
+        // name = first whitespace token after '>'
+        int64_t e = heads[rec] + 1;
+        while (e < hdr_end && !std::isspace(static_cast<unsigned char>(d[e]))) e++;
+        const int64_t len =
+            std::min<int64_t>(e - heads[rec] - 1, name_cap - 1);
+        memcpy(names + rec * name_cap, d + heads[rec] + 1, len);
+        names[rec * name_cap + len] = '\0';
+
+        uint32_t* base = planes + rec * 4 * W;
+        uint32_t acc[4] = {0, 0, 0, 0};
+        int64_t site = 0;
+        const char* p = nl ? nl + 1 : d + rec_end;
+        const char* end = d + rec_end;
+        bool bad = false;
+        while (p < end) {
+          const char* le = static_cast<const char*>(memchr(p, '\n', end - p));
+          const char* stop = le ? le : end;
+          if (stop > p && stop[-1] == '\r') --stop;
+          if (site + (stop - p) > L) { bad = true; break; }
+          pack_span(p, stop, base, W, site, acc);
+          p = le ? le + 1 : end;
+        }
+        if (bad) {
+#pragma omp atomic write
+          overflow = 1;
+        } else {
+          pack_flush_tail(base, W, site, acc);
+        }
+      }
+      if (overflow) return -4;
+      return n;
+    }
+  }
   GzReader r(path);
   if (!r.ok()) return -1;
-  const int64_t W = (L + 31) / 32;
   std::string line;
   int64_t rec = -1, site = 0;
+  uint32_t acc[4] = {0, 0, 0, 0};
   uint32_t* base = nullptr;
   while (r.getline(line)) {
     if (!line.empty() && line[0] == '>') {
+      if (base != nullptr) pack_flush_tail(base, W, site, acc);
       rec++;
       if (rec >= n_seqs) return -3;
       site = 0;
+      acc[0] = acc[1] = acc[2] = acc[3] = 0;
       base = planes + rec * 4 * W;
       // name = first whitespace token
       size_t e = 1;
@@ -134,20 +320,14 @@ int64_t tn_fasta_pack(const char* path, uint32_t* planes, int64_t n_seqs,
       memcpy(names + rec * name_cap, line.data() + 1, len);
       names[rec * name_cap + len] = '\0';
     } else if (rec >= 0) {
-      for (char ch : line) {
-        if (ch == '\r') continue;
-        if (site >= L) return -4;
-        uint8_t nib = kLut.t[static_cast<unsigned char>(ch)];
-        const int64_t w = site >> 5;
-        const uint32_t bit = 1u << (site & 31);
-        if (nib & 1) base[w] |= bit;
-        if (nib & 2) base[W + w] |= bit;
-        if (nib & 4) base[2 * W + w] |= bit;
-        if (nib & 8) base[3 * W + w] |= bit;
-        site++;
-      }
+      const char* s = line.data();
+      const char* e = s + line.size();
+      if (e > s && e[-1] == '\r') --e;
+      if (site + (e - s) > L) return -4;
+      pack_span(s, e, base, W, site, acc);
     }
   }
+  if (base != nullptr) pack_flush_tail(base, W, site, acc);
   return rec + 1;
 }
 
