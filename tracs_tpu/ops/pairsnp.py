@@ -1127,7 +1127,26 @@ def pairsnp_stream(
             # keep it so the device split derivation doesn't free it
             a_k._keep_planes_device = True
             b_k._keep_planes_device = True
+        # the one-time raw-plane upload and the host split-layout build are
+        # the two big serial prefixes of a large run (north star: 364 s +
+        # 105 s at 10k x 1 Mb); when the device-derive path will consume the
+        # raw planes anyway, start the upload on a thread so the transfer
+        # rides under the host build (the GIL is released inside the copy)
+        upload_threads = []
+        if mesh is None and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0":
+            import threading
+
+            for p in {id(a_k): a_k, id(b_k): b_k}.values():
+                Wpad = ((p.planes.shape[2] + 255) // 256) * 256
+                if 9 * p.planes.shape[0] * Wpad * 4 <= _DEVICE_SPLIT_BUDGET:
+                    th = threading.Thread(
+                        target=_planes_device, args=(p,), daemon=True
+                    )
+                    th.start()
+                    upload_threads.append(th)
         sa, sb = _split_pair(a_k, b_k)
+        for th in upload_threads:
+            th.join()  # _split_device must not race the cached upload
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
             from tracs_tpu.parallel.allpairs import RingCoo, ShardedSweep
 
