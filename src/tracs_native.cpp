@@ -15,6 +15,12 @@
 
 #include <algorithm>
 #include <cctype>
+#ifdef _OPENMP
+#include <omp.h>
+#else
+static inline int omp_get_max_threads() { return 1; }
+static inline int omp_get_thread_num() { return 0; }
+#endif
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -885,6 +891,79 @@ void tn_filter_windows(const int64_t* pos, int64_t n_snps,
       }
     }
     kept[s] = nk;
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// split-layout statistics (ops/packing.py::split_alignment)
+// ---------------------------------------------------------------------------
+//
+// One streaming pass over the packed [n, 4, W] planes producing every
+// derived tensor the split layout and the compact 2-bit upload path need.
+// The former numpy build ran ~10 separate broadcasted passes (~40 GB of
+// memory traffic at 10k x 1 Mb, ~105 s measured on the north-star run);
+// here each plane word is read once and all outputs fall out of the same
+// registers.  Semantics mirror ops/packing.py exactly:
+//   all4   = A & C & G & T                       (N mask)
+//   excl   = plane & ~all4                       (N-exclusive singletons)
+//   cnt_n  = sum(popcount(all4))                 (per sample)
+//   ge2    = any-two-planes overlap (incl. N)    (exception-site mask for
+//                                                 the 2-bit upload)
+//   b0     = (C | T) & ~ge2                      (2-bit code bit 0)
+//   b1     = (G | T) & ~ge2                      (2-bit code bit 1)
+//   partial_or = OR over samples of (ge2 & ~all4)  (partial_site_positions)
+
+extern "C" {
+
+void tn_split_stats(const uint32_t* planes, int64_t n, int64_t W,
+                    uint32_t* excl, uint32_t* nmask, int64_t* cnt_n,
+                    uint32_t* ge2, uint32_t* b0, uint32_t* b1,
+                    uint32_t* partial_or) {
+  const int nthreads = omp_get_max_threads();
+  std::vector<uint32_t> por_local((size_t)nthreads * W, 0u);
+#pragma omp parallel
+  {
+    uint32_t* por = por_local.data() + (size_t)omp_get_thread_num() * W;
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      const uint32_t* pa = planes + i * 4 * W;
+      const uint32_t* pc = pa + W;
+      const uint32_t* pg = pa + 2 * W;
+      const uint32_t* pt = pa + 3 * W;
+      uint32_t* ea = excl + i * 4 * W;
+      uint32_t* ec = ea + W;
+      uint32_t* eg = ea + 2 * W;
+      uint32_t* et = ea + 3 * W;
+      uint32_t* nm = nmask + i * W;
+      uint32_t* g2 = ge2 + i * W;
+      uint32_t* c0 = b0 + i * W;
+      uint32_t* c1 = b1 + i * W;
+      int64_t cn = 0;
+      for (int64_t w = 0; w < W; ++w) {
+        const uint32_t a = pa[w], c = pc[w], g = pg[w], t = pt[w];
+        const uint32_t all4 = a & c & g & t;
+        const uint32_t two =
+            (a & c) | (a & g) | (a & t) | (c & g) | (c & t) | (g & t);
+        ea[w] = a & ~all4;
+        ec[w] = c & ~all4;
+        eg[w] = g & ~all4;
+        et[w] = t & ~all4;
+        nm[w] = all4;
+        g2[w] = two;
+        c0[w] = (c | t) & ~two;
+        c1[w] = (g | t) & ~two;
+        por[w] |= two & ~all4;
+        cn += __builtin_popcount(all4);
+      }
+      cnt_n[i] = cn;
+    }
+  }
+  for (int64_t w = 0; w < W; ++w) {
+    uint32_t acc = 0;
+    for (int th = 0; th < nthreads; ++th) acc |= por_local[(size_t)th * W + w];
+    partial_or[w] = acc;
   }
 }
 

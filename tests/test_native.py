@@ -94,3 +94,69 @@ def test_pileup_semantics(tmp_path):
     assert np.all(counts[3] == 0)                           # multi-char allele
     counts = pileup_mod.parse_pileup(path, {"chr1": 4}, require_both_strands=False)
     assert counts[1, 3] == 5                                # 0+5 kept
+
+
+def test_native_split_stats_matches_numpy(rng):
+    from tracs_tpu.ops import packing
+    from tracs_tpu.runtime.native import native_split_stats
+
+    chars = list("ACGTNRYSWKM-")  # singletons, partials, N, gap(->N)
+    seqs = ["".join(rng.choice(chars, size=173)) for _ in range(23)]
+    packed = packing.pack_sequences(seqs)
+    stats = native_split_stats(packed.planes)
+    assert stats is not None
+    excl, nmask, cnt_n, ge2, b0, b1, partial_or = stats
+
+    p = packed.planes
+    a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    all4 = a & c & g & t
+    assert np.array_equal(nmask, all4)
+    assert np.array_equal(excl, p & ~all4[:, None, :])
+    assert np.array_equal(cnt_n, packing.popcount_words(all4).sum(axis=-1))
+    ge2_want = (a & c) | (a & g) | (a & t) | (c & g) | (c & t) | (g & t)
+    assert np.array_equal(ge2, ge2_want)
+    assert np.array_equal(b0, (c | t) & ~ge2_want)
+    assert np.array_equal(b1, (g | t) & ~ge2_want)
+    assert np.array_equal(
+        partial_or, np.bitwise_or.reduce((ge2_want & ~all4).astype(np.uint32), axis=0)
+    )
+    # split_alignment wires the native pass in and stashes the code2 planes
+    sa = packing.split_alignment(packed)
+    assert np.array_equal(sa.excl, excl)
+    assert hasattr(packed, "_code2")
+
+
+def test_code2_device_upload_bit_identical(rng):
+    """Planes derived on device from the 2-bit code upload must equal the
+    raw 4-plane upload, IUPAC exceptions included."""
+    import tracs_tpu.ops.pairsnp as ps
+    from tracs_tpu.ops import packing
+
+    # singleton sites with a handful of hand-placed IUPAC/N exceptions:
+    # the 24-byte-per-exception-word payload only wins when exception
+    # words are sparse (<1/3 of words), as post-consensus data is
+    seqs = ["".join(rng.choice(list("ACGT"), size=301)) for _ in range(17)]
+    seqs[3] = seqs[3][:150] + "N" + seqs[3][151:]
+    seqs[5] = "R" + seqs[5][1:]
+    seqs[11] = seqs[11][:300] + "Y"
+    packed = packing.pack_sequences(seqs)
+    packing.split_alignment(packed)  # stashes _code2
+    payload = ps._code2_payload(packed, ((packed.planes.shape[2] + 255) // 256) * 256)
+    assert payload is not None  # exceptions sparse enough to take the path
+    derived = np.asarray(ps._planes_device(packed))
+    packed2 = packing.pack_sequences(seqs)
+    raw = np.asarray(ps._planes_device(packed2))
+    assert np.array_equal(derived, raw)
+
+
+def test_code2_payload_declines_on_dense_exceptions(rng):
+    import tracs_tpu.ops.pairsnp as ps
+    from tracs_tpu.ops import packing
+
+    seqs = ["".join(rng.choice(list("NRYSWKM"), size=200)) for _ in range(8)]
+    packed = packing.pack_sequences(seqs)
+    packing.split_alignment(packed)
+    assert ps._code2_payload(packed, 256) is None
+    # and the fallback upload still works
+    raw = np.asarray(ps._planes_device(packed))
+    assert raw.shape[1] == 4

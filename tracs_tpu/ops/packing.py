@@ -242,12 +242,24 @@ def split_alignment(
     ``partial_sites`` overrides the gathered partial-site positions — pass
     the union of both alignments' positions when building the two sides of
     a query-vs-db pair, so their correction grams share the gather axis."""
-    p = packed.planes
-    a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
-    all4 = a & c & g & t
+    from tracs_tpu.runtime.native import native_split_stats
 
-    excl = (p & ~all4[:, None, :]).astype(np.uint32)
-    cnt_n = popcount_words(all4).sum(axis=-1)
+    p = packed.planes
+    stats = native_split_stats(p)
+    if stats is not None:
+        # single native streaming pass; also yields the 2-bit upload planes
+        # (b0/b1) + exception mask that ops/pairsnp.py::_planes_device uses
+        # to halve host->device bytes on tunneled/PCIe-bound chips
+        excl, all4, cnt_n, ge2, b0, b1, partial_or = stats
+        packed._code2 = (b0, b1, ge2)
+        if partial_sites is None:
+            bits = np.unpackbits(partial_or.view(np.uint8), bitorder="little")
+            partial_sites = np.nonzero(bits[: packed.length])[0].astype(np.int64)
+    else:
+        a, c, g, t = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        all4 = a & c & g & t
+        excl = (p & ~all4[:, None, :]).astype(np.uint32)
+        cnt_n = popcount_words(all4).sum(axis=-1)
 
     # gather raw planes at partial sites (usually a tiny fraction)
     if partial_sites is None:

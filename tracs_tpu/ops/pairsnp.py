@@ -774,14 +774,132 @@ def _pad_words(planes: np.ndarray, w_target: int) -> np.ndarray:
     return np.pad(planes, ((0, 0), (0, 0), (0, w_target - w)))
 
 
+@partial(jax.jit, static_argnames=("rows",), donate_argnums=(0, 1))
+def _derive_planes_code2(b0, b1, tailmask, *, rows: int):
+    """[rows, W] 2-bit code planes -> [rows, 4, W] packed planes.
+
+    Code mapping (ops/packing.py tn_split_stats): bit0 = C|T, bit1 = G|T at
+    singleton sites, both zero at exception (>=2-bit IUPAC) sites — so the
+    derived A plane is wrong only at exception bits, which the caller
+    patches with the sparse exception scatter.  ``tailmask`` clears the A
+    plane's padded tail (padded bits must read "no allele")."""
+    del rows
+    A = (~b0 & ~b1) & tailmask[None, :]
+    C = b0 & ~b1
+    G = b1 & ~b0
+    T = b0 & b1
+    return jnp.stack([A, C, G, T], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0,))
+def _apply_exceptions(planes, exc_idx, exc_pw, exc_m, *, cap: int):
+    """Patch the derived planes at exception words: clear the (wrongly
+    derived-as-A) exception bits and OR in the true plane words.  Padded
+    slots carry mask 0 / words 0 and are no-ops."""
+    del cap
+    n, _, W = planes.shape
+    flat = planes.reshape(n, 4 * W)  # scatter in [n*4*W] flat space
+    flat = flat.reshape(-1)
+    # exc_idx is the A-plane flat offset i*4W + w; other planes sit at +W
+    a_cur = flat[exc_idx]
+    flat = flat.at[exc_idx].set((a_cur & ~exc_m) | exc_pw[:, 0])
+    for p in (1, 2, 3):
+        off = exc_idx + p * W
+        flat = flat.at[off].set(flat[off] | exc_pw[:, p])
+    return flat.reshape(n, 4, W)
+
+
+def _code2_payload(packed: PackedAlignment, Wpad: int):
+    """Host-side compact-upload payload, or None when unavailable or not
+    beneficial: (b0_pad, b1_pad, exc_idx[A-plane flat], exc_pw [E,4],
+    exc_m [E], capacity).  Bytes on the wire: 8*n*W for the code planes +
+    24 per exception word, vs 16*n*W for the raw 4-plane upload — used when
+    that is at most half, i.e. E < n*W/3 exception words."""
+    c2 = getattr(packed, "_code2", None)
+    if c2 is None:
+        return None
+    b0, b1, ge2 = c2
+    n, W = b0.shape
+    flat = np.flatnonzero(ge2.reshape(-1))
+    E = int(flat.size)
+    if 24 * E >= 8 * n * W:
+        return None
+    i = flat // W
+    w = flat - i * W
+    exc_pw = packed.planes[i, :, w].astype(np.uint32)  # [E, 4]
+    exc_m = ge2.reshape(-1)[flat]
+    cap = max(64, 1 << int(E - 1).bit_length()) if E else 64
+    idx = np.zeros(cap, dtype=np.int64)
+    idx[:E] = i * (4 * Wpad) + w  # A-plane offset in padded flat space
+    pw = np.zeros((cap, 4), dtype=np.uint32)
+    pw[:E] = exc_pw
+    m = np.zeros(cap, dtype=np.uint32)
+    m[:E] = exc_m
+    return b0, b1, idx, pw, m, cap
+
+
+_UPLOAD_STREAMS = int(os.environ.get("TRACS_TPU_UPLOAD_STREAMS", "1"))
+
+
+def _put_striped(arr: np.ndarray) -> jnp.ndarray:
+    """device_put, optionally split into row stripes transferred on
+    concurrent threads (TRACS_TPU_UPLOAD_STREAMS>1) — tunneled links can
+    carry several streams at once — then concatenated on device."""
+    s = _UPLOAD_STREAMS
+    n = arr.shape[0]
+    if s <= 1 or n < 2 * s:
+        return jnp.asarray(arr)
+    import threading
+
+    bounds = [n * k // s for k in range(s + 1)]
+    out = [None] * s
+    def put(k):
+        out[k] = jnp.asarray(arr[bounds[k]:bounds[k + 1]])
+    ths = [threading.Thread(target=put, args=(k,)) for k in range(s)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    return jnp.concatenate(out, axis=0)
+
+
 def _planes_device(packed: PackedAlignment) -> jnp.ndarray:
     """Device-resident (cached) packed planes, word-padded to a multiple of
     256 — uploaded once per alignment (re-upload through a tunneled TPU
-    otherwise dominates sweep time)."""
+    otherwise dominates sweep time).
+
+    When split_alignment's native pass has stashed the 2-bit code planes
+    (``_code2``) and exception words are sparse, the transfer sends b0/b1
+    (+ the sparse exceptions) — HALF the bytes — and the 4 planes are
+    derived on device (``_derive_planes_code2`` + ``_apply_exceptions``);
+    bit-identical to the raw upload (tests/test_native.py)."""
     dev = getattr(packed, "_dev_planes", None)
     if dev is None:
         Wpad = ((packed.planes.shape[2] + 255) // 256) * 256
-        dev = jnp.asarray(_pad_words(packed.planes, Wpad))
+        payload = (
+            _code2_payload(packed, Wpad)
+            if os.environ.get("TRACS_TPU_CODE2_UPLOAD", "1") != "0"
+            else None
+        )
+        if payload is not None:
+            b0, b1, idx, pw, m, cap = payload
+            W = b0.shape[1]
+            pad = ((0, 0), (0, Wpad - W))
+            tail = np.zeros(Wpad, dtype=np.uint32)
+            full, rem = divmod(packed.length, 32)
+            tail[:full] = 0xFFFFFFFF
+            if rem:
+                tail[full] = np.uint32((1 << rem) - 1)
+            d0 = _put_striped(np.pad(b0, pad))
+            d1 = _put_striped(np.pad(b1, pad))
+            dev = _derive_planes_code2(d0, d1, jnp.asarray(tail),
+                                       rows=b0.shape[0])
+            dev = _apply_exceptions(
+                dev, jnp.asarray(idx), jnp.asarray(pw), jnp.asarray(m),
+                cap=cap,
+            )
+        else:
+            dev = _put_striped(_pad_words(packed.planes, Wpad))
         packed._dev_planes = dev
     return dev
 
@@ -1127,11 +1245,13 @@ def pairsnp_stream(
             # keep it so the device split derivation doesn't free it
             a_k._keep_planes_device = True
             b_k._keep_planes_device = True
-        # the one-time raw-plane upload and the host split-layout build are
-        # the two big serial prefixes of a large run (north star: 364 s +
-        # 105 s at 10k x 1 Mb); when the device-derive path will consume the
-        # raw planes anyway, start the upload on a thread so the transfer
-        # rides under the host build (the GIL is released inside the copy)
+        # the host split build runs FIRST (it is a fast native single pass
+        # and stashes the 2-bit upload planes on the alignment), then the
+        # one-time device upload — the dominant serial prefix of a large
+        # tunneled run (north star: 364 s of raw 4-plane upload at
+        # 10k x 1 Mb, halved by the code2 path) — starts on threads so a
+        # query-vs-db pair's two transfers ride the link concurrently
+        sa, sb = _split_pair(a_k, b_k)
         upload_threads = []
         if mesh is None and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0":
             import threading
@@ -1144,7 +1264,6 @@ def pairsnp_stream(
                     )
                     th.start()
                     upload_threads.append(th)
-        sa, sb = _split_pair(a_k, b_k)
         for th in upload_threads:
             th.join()  # _split_device must not race the cached upload
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:

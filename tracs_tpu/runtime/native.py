@@ -139,6 +139,13 @@ def _configure(lib) -> None:
         i64p, u8p,                     # kept out, ovf_mark out
     ]
 
+    lib.tn_split_stats.restype = None
+    lib.tn_split_stats.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int64,        # planes, n, W
+        u32p, u32p, i64p,                            # excl, nmask, cnt_n
+        u32p, u32p, u32p, u32p,                      # ge2, b0, b1, partial_or
+    ]
+
     lib._f64p = f64p  # stash for callers needing pointer casts
 
 
@@ -295,6 +302,36 @@ def native_read_dist_csv(path, col_index, threshold):
         else []
     )
     return I[:n_edges], J[:n_edges], names, n_rows
+
+
+def native_split_stats(planes):
+    """Single-pass split-layout statistics over [n, 4, W] packed planes.
+
+    Returns ``(excl, nmask, cnt_n, ge2, b0, b1, partial_or)`` — the
+    N-exclusive planes, N mask, per-sample N counts, the >=2-bit
+    (exception) mask, the two 2-bit-code planes for the compact device
+    upload, and the OR-over-samples partial-site mask — or None when the
+    native library is unavailable (caller falls back to the numpy build).
+    Replaces ~10 broadcasted numpy passes with one streaming read of the
+    planes (measured 105 s -> seconds at 10k x 1 Mb)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    planes = np.ascontiguousarray(planes, dtype=np.uint32)
+    n, _, W = planes.shape
+    excl = np.empty((n, 4, W), dtype=np.uint32)
+    nmask = np.empty((n, W), dtype=np.uint32)
+    cnt_n = np.empty(n, dtype=np.int64)
+    ge2 = np.empty((n, W), dtype=np.uint32)
+    b0 = np.empty((n, W), dtype=np.uint32)
+    b1 = np.empty((n, W), dtype=np.uint32)
+    partial_or = np.empty(W, dtype=np.uint32)
+    lib.tn_split_stats(
+        planes.reshape(-1), n, W,
+        excl.reshape(-1), nmask.reshape(-1), cnt_n,
+        ge2.reshape(-1), b0.reshape(-1), b1.reshape(-1), partial_or,
+    )
+    return excl, nmask, cnt_n, ge2, b0, b1, partial_or
 
 
 def native_window_stats(pos, seg_bounds, w):
