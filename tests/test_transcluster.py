@@ -142,3 +142,45 @@ def test_extended_regime_bound_guard():
         )
     np.testing.assert_allclose(eK, np.asarray(eK_m), rtol=1e-7)
     np.testing.assert_allclose(p0, np.asarray(p0_m), rtol=1e-9)
+
+
+def test_extended_regime_tiny_term_exit():
+    """The tiny-term early exit on bound-unusable lanes must return the
+    same E(K) the full 10000-step loop would: once k*P(k) decays below
+    ~ulp(e_sum), every further add is a no-op in f64.  Emulate the exact
+    _k_step_fast linear accumulation in numpy to the k cap and compare
+    tightly (libm exp/log differ across backends at ~1ulp, so not ==)."""
+    import math
+    from scipy.special import gammaln
+    from tracs_tpu.models.transcluster import trans_dist, upper_bound_E, _K_CAP
+
+    lamb, beta = 29.903, 73.0
+    cases = [(27, 7.3101), (3, 9.99), (120, 6.5)]
+    for N, delta in cases:
+        assert upper_bound_E(delta, lamb, beta, N) * 1e-12 >= 0.01  # unusable
+    p0, eK = trans_dist([c[0] for c in cases], [c[1] for c in cases],
+                        lamb, beta, 0.01)
+
+    log_lb = math.log(lamb + beta)
+    for (N, delta), got in zip(cases, eK):
+        # seeds (same series formulas as the engine)
+        i = np.arange(0, N + 1)
+        log_pois = np.logaddexp.reduce(i * np.log(lamb * delta) - gammaln(i + 1.0))
+        j = np.arange(0, N + 1)
+        log_I = np.logaddexp.reduce(
+            j * np.log(delta) - gammaln(j + 1.0) - (N - j + 1.0) * log_lb
+        )
+        e_sum = 0.0
+        lg_N1 = gammaln(N + 1.0)
+        for k in range(1, _K_CAP):
+            M = N + k
+            log_I = np.logaddexp(
+                M * np.log(delta) - gammaln(M + 1.0) - log_lb, log_I - log_lb
+            )
+            lp = (
+                (N + 1.0) * math.log(lamb) + k * math.log(beta)
+                + gammaln(M + 1.0) - lg_N1 - gammaln(k + 1.0)
+                - delta * beta - log_pois + log_I
+            )
+            e_sum += math.exp(lp + math.log(k)) if k > 1 else math.exp(lp)
+        np.testing.assert_allclose(got, e_sum, rtol=1e-11)

@@ -311,16 +311,28 @@ def _k_step_fast(N, delta, log_delta, log_pois, upper_bound, lg_N1,
     lp_k = jnp.where(pos, base_pos + log_I_next, lprob_zero)
     lhs_k = jnp.where(pos, base_pos, lprob_zero)
 
-    e_sum_new = e_sum + jnp.exp(lp_k + log_k)
+    e_term = jnp.exp(lp_k + log_k)
+    e_sum_new = e_sum + e_term
     b_sum_new = b_sum + jnp.exp(
         lhs_k + log_k + delta * (lamb + beta) - (M + 1.0) * log_lb
     )
     diff_bound = upper_bound - b_sum_new
     # same exit rule + cancellation guard as _k_step (see comment there)
     bound_usable = jnp.logical_not(upper_bound * 1e-12 >= threshold_Ek)
+    # Extended-regime early exit, exact in f64: when the bound is unusable
+    # the reference-semantics loop runs to the k cap, but once the k*P(k)
+    # terms have decayed below ~ulp(e_sum) every remaining add is a no-op
+    # in double precision (the tail is geometrically decaying, so it sums
+    # to O(one term)); stopping there returns the bit-identical e_sum the
+    # full 10000-step loop would.  The e_sum > 0 guard keeps lanes whose
+    # early terms underflow (mode far to the right) running until the mass
+    # appears.  Verified against the cap-running oracle in
+    # tests/test_transcluster.py::test_extended_regime_tiny_term_exit.
+    tiny = (e_sum > 0.0) & (e_term <= e_sum * 1e-19)
     done_new = (
         done
         | (bound_usable & jnp.logical_not(diff_bound > threshold_Ek))
+        | (jnp.logical_not(bound_usable) & tiny)
         | (k + 1.0 >= _K_CAP)
     )
     keep = jnp.logical_not(done)
