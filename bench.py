@@ -121,7 +121,7 @@ def make_clustered(n, L, cluster_size=6, max_mut=90, n_partial_cols=2048, seed=0
     )
 
 
-def bench_tpu(n=4096, L=1_000_000, iters=3, snp_threshold=200):
+def bench_tpu(n=4096, L=1_000_000, iters=5, snp_threshold=200):
     """Times the full production streaming unit (what ``tracs-tpu
     distance`` runs per row block): device sweep -> device threshold +
     survivor count -> device COO compaction -> host download of the
@@ -157,11 +157,37 @@ def bench_tpu(n=4096, L=1_000_000, iters=3, snp_threshold=200):
             pairs += len(rows)
         return pairs
 
-    consume()  # upload + compile
+    # Warmup 1: upload + compile.  Warmup 2: settle any state-dependent
+    # shape variants (adaptive extraction capacities are sticky per shape
+    # since r5, but a recompile here is untimed insurance, not a 30 s hole
+    # in the measurement like BENCH_r04's).  Each consume() downloads every
+    # block's packed survivors, so it is device-synchronous by construction.
     t0 = time.time()
-    for _ in range(iters):
+    consume()
+    print(f"# warmup(upload+compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    consume()
+    print(f"# warmup(settle): {time.time() - t0:.3f}s", file=sys.stderr)
+    # Per-sweep wall times with absolute timestamps: a single slow sweep
+    # (link stall, background transfer, recompile) must be visible in the
+    # record, not silently averaged into the headline.  Median is the
+    # headline (robust to one bad sweep); min bounds the chip's capability.
+    sweep_s = []
+    for k in range(iters):
+        t0 = time.time()
         survivors = consume()
-    dt = (time.time() - t0) / iters
+        sweep_s.append(time.time() - t0)
+        print(
+            f"# sweep {k} @{time.strftime('%H:%M:%S')}: {sweep_s[-1]:.3f}s",
+            file=sys.stderr,
+        )
+    dt = float(np.median(sweep_s))
+    dt_min = min(sweep_s)
+    print(
+        f"# sweeps: median {dt:.3f}s min {dt_min:.3f}s "
+        f"all {[round(s, 3) for s in sweep_s]}",
+        file=sys.stderr,
+    )
     rate = n * n / dt
     # 5 int8 MACs/site/pair (4 exclusive-base channels + 1 N channel);
     # 2 ops per MAC.  MACs actually executed by the schedule in effect —
@@ -180,7 +206,7 @@ def bench_tpu(n=4096, L=1_000_000, iters=3, snp_threshold=200):
         f"MFU {100 * mfu:.1f}% of {INT8_PEAK_OPS / 1e12:.0f} TOPS int8 peak",
         file=sys.stderr,
     )
-    return rate, mfu
+    return rate, mfu, dt, dt_min
 
 
 def bench_cpu_reference(n_rows=8, n=256, L=1_000_000):
@@ -221,7 +247,7 @@ def main():
     # stays comparable across rounds.
     n = int(os.environ.get("BENCH_N", "4096"))
     L = int(os.environ.get("BENCH_L", "1000000"))
-    tpu_rate, mfu = bench_tpu(n=n, L=L)
+    tpu_rate, mfu, dt_med, dt_min = bench_tpu(n=n, L=L)
     cpu_rate = bench_cpu_reference(n=n, L=L)
     print(
         json.dumps(
@@ -231,6 +257,8 @@ def main():
                 "unit": "pairs/s",
                 "vs_baseline": round(tpu_rate / cpu_rate, 2),
                 "mfu": round(mfu, 4),
+                "sweep_s_median": round(dt_med, 4),
+                "sweep_s_min": round(dt_min, 4),
             }
         )
     )

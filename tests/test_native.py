@@ -149,6 +149,30 @@ def test_code2_device_upload_bit_identical(rng):
     assert np.array_equal(derived, raw)
 
 
+def test_code2_device_upload_sample0_word0_exception(rng):
+    """A real exception at flat index 0 (leading N/IUPAC in the FIRST
+    sequence) must survive the padded exception slots: pad entries used to
+    carry flat index 0 too, and ``.at[].set`` duplicate-index order is
+    undefined, so the pad's no-op write could clobber the patch (silently
+    wrong distances on common real data)."""
+    import tracs_tpu.ops.pairsnp as ps
+    from tracs_tpu.ops import packing
+
+    for lead in ("N", "M"):
+        seqs = ["".join(rng.choice(list("ACGT"), size=301)) for _ in range(17)]
+        seqs[0] = lead + seqs[0][1:]
+        packed = packing.pack_sequences(seqs)
+        packing.split_alignment(packed)  # stashes _code2
+        Wpad = ((packed.planes.shape[2] + 255) // 256) * 256
+        payload = ps._code2_payload(packed, Wpad)
+        assert payload is not None
+        assert payload[2][0] == 0  # the real exception IS flat index 0
+        derived = np.asarray(ps._planes_device(packed))
+        packed2 = packing.pack_sequences(seqs)
+        raw = np.asarray(ps._planes_device(packed2))
+        assert np.array_equal(derived, raw)
+
+
 def test_code2_payload_declines_on_dense_exceptions(rng):
     import tracs_tpu.ops.pairsnp as ps
     from tracs_tpu.ops import packing

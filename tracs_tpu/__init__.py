@@ -33,12 +33,30 @@ import jax
 # JAX_PLATFORMS to a TPU plugin.  Env mutation is not enough: some
 # environments import jax from sitecustomize before user code runs, latching
 # the config — so update the config directly (safe until backends initialise).
+_REQUESTED_PLATFORM = None  # first entry of an explicit JAX_PLATFORMS, if any
 try:
     _platforms = jax.config.jax_platforms
     if _platforms and "cpu" not in _platforms.split(","):
+        _REQUESTED_PLATFORM = _platforms.split(",")[0]
         jax.config.update("jax_platforms", _platforms + ",cpu")
 except Exception:  # pragma: no cover - backends already initialised
     pass
+
+
+def warn_if_platform_fell_back() -> None:
+    """Warn (loudly) when an explicitly requested accelerator platform
+    failed to initialise and jax silently fell back to the cpu entry this
+    module appended.  Called by the CLI after backends initialise; the
+    fallback itself is kept because the f64 model numerics need a cpu
+    backend to exist alongside the accelerator."""
+    if _REQUESTED_PLATFORM and jax.default_backend() == "cpu":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "JAX_PLATFORMS requested %r but the '%s' backend failed to "
+            "initialise — running on CPU. Device kernels will be slow.",
+            _REQUESTED_PLATFORM, _REQUESTED_PLATFORM,
+        )
 
 jax.config.update("jax_enable_x64", True)
 

@@ -41,6 +41,9 @@ def main(argv=None):
         func = args.func
     except AttributeError:
         parser.error("Too few inputs. For help, run tracs-tpu --help")
+    import tracs_tpu
+
+    tracs_tpu.warn_if_platform_fell_back()
     rc = func(args)
     if isinstance(rc, int) and rc:  # doctor-style preflights signal via exit code
         raise SystemExit(rc)

@@ -1,10 +1,18 @@
 """External-tool contracts: sourmash, minimap2, samtools, htsbox.
 
-The reference shells out to these via ``subprocess`` (reference
-tracs/utils.py:11-83, tracs/pileup.py:115-219); this module keeps the same
-command contracts but centralises availability checks so the framework
-degrades with a clear error (and the rest of the pipeline — packing,
-distances, clustering — keeps working without them).
+The reference shells out to these tools with hand-assembled command strings
+(reference tracs/utils.py:11-83, tracs/pileup.py:115-219).  Here the whole
+tool surface is ONE declarative table (``COMMANDS``): each entry names the
+binaries involved, the shell template, the kwarg that holds the file the
+command must produce, and a one-line purpose.  The pipeline stages render
+and run entries from the table, and the ``doctor`` preflight consumes the
+same table for its presence/version report and flag-drift probe — so a
+command-line drift is a one-place change and is exercised by one probe.
+
+The rendered strings are the tool CONTRACT: they must stay byte-identical
+to the reference's invocations (pinned by tests/test_external_contracts.py)
+— everything around them (orchestration, selection logic, file handling) is
+this framework's own.
 """
 
 from __future__ import annotations
@@ -15,10 +23,114 @@ import os
 import random
 import shutil
 import subprocess
+import tempfile
+from dataclasses import dataclass
 
 from tracs_tpu.io.fasta import read_fasta
 
 _RC = str.maketrans("ACGTMRWSYKVHDBNacgtmrwsykvhdbn", "TGCAKYWSRMBDHVNtgcakywsrmbdhvn")
+
+
+# ---------------------------------------------------------------------------
+# the command-contract table
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ToolCommand:
+    """One external-tool invocation contract."""
+
+    binaries: tuple[str, ...]  # executables that must be on PATH
+    template: str              # shell template; fields filled by render()
+    output_field: str | None   # kwarg naming the file the command produces
+    about: str                 # one-line purpose (doctor report)
+
+
+#: binary -> (version-probe command or None, which stages need it)
+VERSION_PROBES: dict[str, tuple[str | None, str]] = {
+    "sourmash": ("sourmash --version", "align/pipe/build-db reference selection"),
+    "minimap2": ("minimap2 --version", "align/pipe read mapping"),
+    "samtools": ("samtools --version", "align/pipe BAM filter+sort"),
+    "htsbox": (None, "align/pipe pileup generation"),  # no --version flag
+    "gzip": ("gzip --version", "align pileup compression"),
+}
+
+
+COMMANDS: dict[str, ToolCommand] = {
+    "sourmash_sketch": ToolCommand(
+        binaries=("sourmash",),
+        template=(
+            "sourmash sketch dna --merge {prefix}"
+            " -p scaled={scaled},k={ksize},noabund -o {output} {inputs}"
+        ),
+        output_field="output",
+        about="FracMinHash sketch of the query reads/assembly",
+    ),
+    "sourmash_gather": ToolCommand(
+        binaries=("sourmash",),
+        template=(
+            "sourmash gather -o {output} --threshold-bp {threshold_bp}"
+            " --ignore-abundance {query_sig} {database}"
+        ),
+        output_field="output",
+        about="rank database references by containment of the query sketch",
+    ),
+    # map + divergence-filter + coordinate-sort, piped (the low-disk default)
+    "map_filter_sort": ToolCommand(
+        binaries=("minimap2", "samtools"),
+        template=(
+            "minimap2 -t {n_cpu} -p 1 -N 10 {mode} {reference} {reads}"
+            " | samtools view -S -b --threads {n_cpu}"
+            ' --input-fmt-option "filter=[de] < {max_div}" -'
+            " | samtools sort --threads {n_cpu} - > {bam}"
+        ),
+        output_field="bam",
+        about="align reads and keep sub-divergence alignments, sorted BAM",
+    ),
+    # two-step variant (lowdisk=False): SAM to disk, then filter+sort
+    "map_to_sam": ToolCommand(
+        binaries=("minimap2",),
+        template="minimap2 -t {n_cpu} -p 1 -N 10 {mode} {reference} {reads} > {sam}",
+        output_field="sam",
+        about="align reads to SAM on disk",
+    ),
+    "filter_sort_sam": ToolCommand(
+        binaries=("samtools",),
+        template=(
+            "samtools view -S -b --threads {n_cpu}"
+            ' --input-fmt-option "filter=[de] < {max_div}" {sam}'
+            " | samtools sort --threads {n_cpu} - > {bam}"
+        ),
+        output_field="bam",
+        about="divergence-filter + sort an on-disk SAM",
+    ),
+    # composite mode maps once against all references; no divergence filter
+    # (reference tracs/pileup.py:60-74 composite path)
+    "map_sort_composite": ToolCommand(
+        binaries=("minimap2", "samtools"),
+        template=(
+            "minimap2 -t {n_cpu} -p 1 -N 10 {mode} {reference} {reads}"
+            " | samtools view -S -b --threads {n_cpu} -"
+            " | samtools sort --threads {n_cpu} - > {bam}"
+        ),
+        output_field="bam",
+        about="composite-reference align + sort (single aligner pass)",
+    ),
+    "pileup": ToolCommand(
+        binaries=("htsbox",),
+        template=(
+            "htsbox pileup -C -s 0 -f {reference}"
+            " -Q {Q} -q {q} -l {l} -S {S} -V {V} -T {T} {bam} > {output}"
+        ),
+        output_field="output",
+        about="per-site allele counts from the sorted BAM",
+    ),
+    "gzip": ToolCommand(
+        binaries=("gzip",),
+        template="gzip -f {file}",
+        output_field=None,
+        about="compress the pileup text in place",
+    ),
+}
 
 
 def require_tool(name: str) -> None:
@@ -30,9 +142,44 @@ def require_tool(name: str) -> None:
         )
 
 
+def render(name: str, **fields) -> str:
+    """Fill a COMMANDS template.  Raises KeyError on unknown entries and
+    a clear error on missing fields — templates are the single source of
+    truth for every flag the pipeline passes to an external tool."""
+    return COMMANDS[name].template.format(**fields)
+
+
 def run(cmd: str) -> None:
     logging.info("running cmd: %s", cmd)
     subprocess.run(cmd, shell=True, check=True)
+
+
+def run_command(name: str, **fields) -> str:
+    """Render a table entry, check its binaries, run it, and verify the
+    declared output file exists and is non-empty.  Returns the rendered
+    command string (doctor's flag-drift probe reports it on failure)."""
+    spec = COMMANDS[name]
+    for binary in spec.binaries:
+        require_tool(binary)
+    cmd = render(name, **fields)
+    run(cmd)
+    if spec.output_field is not None:
+        out = fields[spec.output_field]
+        if not os.path.exists(out) or os.path.getsize(out) == 0:
+            raise RuntimeError(
+                f"{name}: expected output {out!r} is missing or empty "
+                f"(command: {cmd!r})"
+            )
+    return cmd
+
+
+def _mode_flags(minimap_preset: str, minimap_params: str | None) -> str:
+    """minimap2 mapping-mode flags: explicit params override the preset."""
+    return minimap_params if minimap_params is not None else "-ax " + minimap_preset
+
+
+def _reads_arg(r1: str, r2: str | None) -> str:
+    return r1 if r2 is None else r1 + " " + r2
 
 
 # ---------------------------------------------------------------------------
@@ -40,14 +187,15 @@ def run(cmd: str) -> None:
 # ---------------------------------------------------------------------------
 
 def run_sketch(input_files, prefix, output, ksize=51, scaled=10000):
-    require_tool("sourmash")
-    cmd = "sourmash sketch dna"
-    cmd += " --merge " + prefix
-    cmd += " -p " + f"scaled={scaled},k={ksize},noabund"
-    cmd += " -o " + output
-    cmd += " " + " ".join(input_files)
     logging.info("sketching input files...")
-    run(cmd)
+    run_command(
+        "sourmash_sketch",
+        prefix=prefix,
+        scaled=scaled,
+        ksize=ksize,
+        output=output,
+        inputs=" ".join(input_files),
+    )
 
 
 def run_gather(
@@ -74,17 +222,15 @@ def run_gather(
         scaled=scaled,
     )
 
-    require_tool("sourmash")
-    cmd = "sourmash gather"
-    cmd += " -o " + output + ".csv"
-    cmd += " --threshold-bp " + str(threshold_bp)
-    cmd += " --ignore-abundance"
-    cmd += " " + temp_dir + "query.sig"
-    cmd += " " + databasefile
     logging.info("finding references...")
-    run(cmd)
+    run_command(
+        "sourmash_gather",
+        output=output + ".csv",
+        threshold_bp=threshold_bp,
+        query_sig=temp_dir + "query.sig",
+        database=databasefile,
+    )
 
-    references = []
     potential = []
     with open(output + ".csv", "r") as infile:
         next(infile)
@@ -96,6 +242,7 @@ def run_gather(
 
     potential = sorted(potential, reverse=True)
 
+    references = []
     prev = True
     pcov = potential[0][0]
     for line in potential:
@@ -134,8 +281,71 @@ def generate_reads(fasta, outputfile, coverage=10, read_length=300):
 
 
 # ---------------------------------------------------------------------------
-# alignment + pileup (minimap2 | samtools | htsbox)
+# alignment + pileup orchestration
 # ---------------------------------------------------------------------------
+
+def _check_aligner(aligner: str) -> None:
+    if aligner != "minimap2":
+        raise ValueError("Minimap2 is the only currently supported aligner!")
+
+
+def align_and_pileup(
+    reference,
+    outdir,
+    prefix,
+    r1,
+    r2=None,
+    aligner="minimap2",
+    minimap_preset="sr",
+    minimap_params=None,
+    max_div=1,
+    Q=0,  # minimum base quality
+    q=0,  # minimum mapping quality
+    l=0,  # minimum query length
+    S=0,  # minimum supplementary alignment length
+    V=1,  # ignore queries with per-base divergence > FLOAT
+    T=0,  # ignore bases within INT-bp of either end of a read
+    n_cpu=1,
+    lowdisk=True,
+):
+    """map_filter_sort (or map_to_sam + filter_sort_sam when lowdisk=False)
+    -> pileup -> gzip, straight off the COMMANDS table (reference command
+    lines: tracs/pileup.py:115-219; the duplicated sort rerun at
+    pileup.py:191-193 is intentionally not reproduced)."""
+    _check_aligner(aligner)
+    for tool in ("minimap2", "samtools", "htsbox"):
+        require_tool(tool)  # fail fast, before any work
+    logging.info("Generating alignment and pileup...")
+
+    bam = tempfile.NamedTemporaryFile(delete=False, dir=outdir)
+    bam.close()
+    common = dict(
+        n_cpu=n_cpu,
+        mode=_mode_flags(minimap_preset, minimap_params),
+        reference=reference,
+        reads=_reads_arg(r1, r2),
+    )
+    if lowdisk:
+        run_command("map_filter_sort", max_div=max_div, bam=bam.name, **common)
+    else:
+        sam = outdir + "read_aln.sam"
+        run_command("map_to_sam", sam=sam, **common)
+        run_command(
+            "filter_sort_sam", n_cpu=n_cpu, max_div=max_div, sam=sam, bam=bam.name
+        )
+
+    run_command(
+        "pileup",
+        reference=reference,
+        Q=Q, q=q, l=l, S=S, V=V, T=T,
+        bam=bam.name,
+        output=prefix + "_pileup.txt",
+    )
+    run_command("gzip", file=prefix + "_pileup.txt")
+
+    os.remove(bam.name)
+    return
+
 
 def align_and_pileup_composite(
     references: dict,
@@ -160,11 +370,9 @@ def align_and_pileup_composite(
     are aligned ONCE against the composite, and the pileup is split back out
     per reference.  One aligner pass instead of one per reference — the
     better default for metagenomic samples hitting many references."""
-    if aligner != "minimap2":
-        raise ValueError("Minimap2 is the only currently supported aligner!")
+    _check_aligner(aligner)
     for tool in ("minimap2", "samtools", "htsbox"):
-        require_tool(tool)
-
+        require_tool(tool)  # fail fast, before any work
     logging.info("Generating composite alignment and pileup...")
 
     composite = os.path.join(outdir, "composite_reference.fasta")
@@ -173,44 +381,25 @@ def align_and_pileup_composite(
             for name, seq in read_fasta(path):
                 outfile.write(">" + str(ref) + "@" + name + "\n" + seq + "\n")
 
-    import tempfile
-
-    temp_file = tempfile.NamedTemporaryFile(delete=False, dir=outdir)
-    temp_file.close()
-
-    cmd = "minimap2"
-    cmd += " -t " + str(n_cpu)
-    cmd += " -p 1 -N 10"
-    if minimap_params is not None:
-        cmd += " " + minimap_params
-    else:
-        cmd += " -ax " + minimap_preset
-    cmd += " " + composite
-    cmd += " " + r1
-    if r2 is not None:
-        cmd += " " + r2
-    cmd += (
-        " | samtools view -S -b --threads "
-        + str(n_cpu)
-        + " - | samtools sort --threads "
-        + str(n_cpu)
-        + " - > "
-        + temp_file.name
+    bam = tempfile.NamedTemporaryFile(delete=False, dir=outdir)
+    bam.close()
+    run_command(
+        "map_sort_composite",
+        n_cpu=n_cpu,
+        mode=_mode_flags(minimap_preset, minimap_params),
+        reference=composite,
+        reads=_reads_arg(r1, r2),
+        bam=bam.name,
     )
-    run(cmd)
 
     pile = os.path.join(outdir, "composite_pileup.txt")
-    cmd = "htsbox pileup -C -s 0"
-    cmd += " -f " + composite
-    cmd += " -Q " + str(Q)
-    cmd += " -q " + str(q)
-    cmd += " -l " + str(l)
-    cmd += " -S " + str(S)
-    cmd += " -V " + str(V)
-    cmd += " -T " + str(T)
-    cmd += " " + temp_file.name
-    cmd += " > " + pile
-    run(cmd)
+    run_command(
+        "pileup",
+        reference=composite,
+        Q=Q, q=q, l=l, S=S, V=V, T=T,
+        bam=bam.name,
+        output=pile,
+    )
 
     # split per reference, stripping the ref@ prefix back off contig names
     writers = {}
@@ -229,98 +418,5 @@ def align_and_pileup_composite(
         for w in writers.values():
             w.close()
 
-    os.remove(temp_file.name)
-    return
-
-
-def align_and_pileup(
-    reference,
-    outdir,
-    prefix,
-    r1,
-    r2=None,
-    aligner="minimap2",
-    minimap_preset="sr",
-    minimap_params=None,
-    max_div=1,
-    Q=0,  # minimum base quality
-    q=0,  # minimum mapping quality
-    l=0,  # minimum query length
-    S=0,  # minimum supplementary alignment length
-    V=1,  # ignore queries with per-base divergence > FLOAT
-    T=0,  # ignore bases within INT-bp of either end of a read
-    n_cpu=1,
-    lowdisk=True,
-):
-    """minimap2 -> samtools view (divergence filter) | sort -> htsbox pileup
-    -> gzip (reference tracs/pileup.py:115-219; the duplicated sort rerun at
-    pileup.py:191-193 is intentionally not reproduced).  Defaults to the
-    piped low-disk path."""
-    if aligner != "minimap2":
-        raise ValueError("Minimap2 is the only currently supported aligner!")
-    for tool in ("minimap2", "samtools", "htsbox"):
-        require_tool(tool)
-
-    logging.info("Generating alignment and pileup...")
-
-    import tempfile
-
-    temp_file = tempfile.NamedTemporaryFile(delete=False, dir=outdir)
-    temp_file.close()
-
-    cmd = "minimap2"
-    cmd += " -t " + str(n_cpu)
-    cmd += " -p 1 -N 10"
-    if minimap_params is not None:
-        cmd += " " + minimap_params
-    else:
-        cmd += " -ax " + minimap_preset
-    cmd += " " + reference
-    cmd += " " + r1
-    if r2 is not None:
-        cmd += " " + r2
-
-    if lowdisk:
-        cmd += (
-            " | samtools view -S -b --threads "
-            + str(n_cpu)
-            + ' --input-fmt-option "filter=[de] < '
-            + str(max_div)
-            + '" - | samtools sort --threads '
-            + str(n_cpu)
-            + " - > "
-            + temp_file.name
-        )
-        run(cmd)
-    else:
-        cmd += " > " + outdir + "read_aln.sam"
-        run(cmd)
-        run(
-            "samtools view -S -b --threads "
-            + str(n_cpu)
-            + ' --input-fmt-option "filter=[de] < '
-            + str(max_div)
-            + '" '
-            + outdir
-            + "read_aln.sam | samtools sort --threads "
-            + str(n_cpu)
-            + " - > "
-            + temp_file.name
-        )
-
-    cmd = "htsbox pileup -C -s 0"
-    cmd += " -f " + reference
-    cmd += " -Q " + str(Q)
-    cmd += " -q " + str(q)
-    cmd += " -l " + str(l)
-    cmd += " -S " + str(S)
-    cmd += " -V " + str(V)
-    cmd += " -T " + str(T)
-    cmd += " " + temp_file.name
-    cmd += " > " + prefix + "_pileup.txt"
-    run(cmd)
-
-    run("gzip -f " + prefix + "_pileup.txt")
-
-    os.remove(temp_file.name)
+    os.remove(bam.name)
     return

@@ -595,7 +595,17 @@ def _extract_coo_packed(D, NN, dist, r0, n_valid, c0=0, *, capacity: int,
     if triangle:
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (na, nb), 0) + r0
         mask &= cols_idx > rows_idx
-    csum = jnp.cumsum(mask.ravel().astype(jnp.int32))
+    # Flat row-major inclusive cumsum, computed HIERARCHICALLY (per-row
+    # scan + tiny exclusive row-offset scan).  Value-identical to
+    # ``jnp.cumsum(mask.ravel())`` but XLA:TPU compiles a scan in time
+    # that grows with the scanned-axis length — a flat 1M-element cumsum
+    # measured 16-26 s to compile vs <1 s for the 2-D form — and a fresh
+    # compile of this kernel (one exists per (shape, capacity)) would
+    # otherwise land inside the production sweep.
+    inner = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    row_tot = inner[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot
+    csum = (inner + row_off[:, None]).ravel()
     count = csum[-1]
     # flat index of survivor s = first position with csum == s+1; beyond
     # count the search returns n*m and the clipped gather reads garbage
@@ -613,6 +623,34 @@ def _extract_coo_packed(D, NN, dist, r0, n_valid, c0=0, *, capacity: int,
 def _bucket_capacity(want: int, limit: int) -> int:
     """Power-of-two capacities (min 4096) bound jit recompiles."""
     cap = 1 << max(12, int(math.ceil(math.log2(max(1, want)))))
+    return min(cap, limit)
+
+
+_CAPACITY_MEMO: dict = {}  # (na, nb) D shape -> sticky extraction capacity
+
+
+def _stable_capacity(shape, want: int, limit: int, *, grow: bool = True) -> int:
+    """Per-block-shape STICKY extraction capacity.
+
+    jit holds one compiled ``_extract_coo_packed`` per (D shape, capacity)
+    pair, and a fresh capacity variant costs a fresh XLA compile — which on
+    a TPU backend can take seconds and would land inside the production
+    sweep.  Round 4's adaptive density hint picked a different capacity on
+    the second stream of a process (cold hint -> 4096, seeded hint ->
+    16384+), recompiling mid-benchmark (BENCH_r04's 72x "collapse").  The
+    capacity for a given block shape is therefore chosen once per process
+    and only ever grows (on overflow), so repeat streams reuse the exact
+    compiled variants of the first.
+
+    ``grow=False`` (speculative callers): an existing entry is reused even
+    when the density hint asks for more — the hint only seeds capacities
+    for never-seen shapes.  ``grow=True`` (the overflow re-extraction,
+    where ``want`` is the MEASURED survivor count): the entry grows, so
+    the shape stops overflowing from the next block on."""
+    cap = _CAPACITY_MEMO.get(shape, 0)
+    if cap == 0 or (grow and want > cap):
+        cap = max(cap, _bucket_capacity(want, limit))
+        _CAPACITY_MEMO[shape] = cap
     return min(cap, limit)
 
 
@@ -655,7 +693,9 @@ def _stream_block_sparse(D_dev, NN_dev, dist, r0, n_valid, count, *, triangle,
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy(), z.copy()
     nb_pad = int(D_dev.shape[1])
-    capacity = _bucket_capacity(count, int(D_dev.shape[0]) * nb_pad)
+    capacity = _stable_capacity(
+        tuple(D_dev.shape), count, int(D_dev.shape[0]) * nb_pad
+    )
     with_nn = NN_dev is not None
     packed = to_host(_extract_coo_packed(
         D_dev, NN_dev if with_nn else D_dev, dist, jnp.int32(r0),
@@ -795,17 +835,21 @@ def _derive_planes_code2(b0, b1, tailmask, *, rows: int):
 def _apply_exceptions(planes, exc_idx, exc_pw, exc_m, *, cap: int):
     """Patch the derived planes at exception words: clear the (wrongly
     derived-as-A) exception bits and OR in the true plane words.  Padded
-    slots carry mask 0 / words 0 and are no-ops."""
+    slots carry an out-of-bounds index (n*4*W) and are DROPPED by the
+    scatters — an in-bounds pad index would collide with a real exception
+    at that slot (sample 0 / word 0), and ``.at[].set`` duplicate-index
+    order is undefined, so the pad's no-op write could clobber the patch."""
     del cap
     n, _, W = planes.shape
     flat = planes.reshape(n, 4 * W)  # scatter in [n*4*W] flat space
     flat = flat.reshape(-1)
     # exc_idx is the A-plane flat offset i*4W + w; other planes sit at +W
-    a_cur = flat[exc_idx]
-    flat = flat.at[exc_idx].set((a_cur & ~exc_m) | exc_pw[:, 0])
+    a_cur = flat.at[exc_idx].get(mode="fill", fill_value=0)
+    flat = flat.at[exc_idx].set((a_cur & ~exc_m) | exc_pw[:, 0], mode="drop")
     for p in (1, 2, 3):
         off = exc_idx + p * W
-        flat = flat.at[off].set(flat[off] | exc_pw[:, p])
+        cur = flat.at[off].get(mode="fill", fill_value=0)
+        flat = flat.at[off].set(cur | exc_pw[:, p], mode="drop")
     return flat.reshape(n, 4, W)
 
 
@@ -829,7 +873,9 @@ def _code2_payload(packed: PackedAlignment, Wpad: int):
     exc_pw = packed.planes[i, :, w].astype(np.uint32)  # [E, 4]
     exc_m = ge2.reshape(-1)[flat]
     cap = max(64, 1 << int(E - 1).bit_length()) if E else 64
-    idx = np.zeros(cap, dtype=np.int64)
+    # pad slots get an OUT-OF-BOUNDS index: _apply_exceptions drops them.
+    # (flat index 0 would alias a real exception at sample 0, word 0)
+    idx = np.full(cap, n * 4 * Wpad, dtype=np.int64)
     idx[:E] = i * (4 * Wpad) + w  # A-plane offset in padded flat space
     pw = np.zeros((cap, 4), dtype=np.uint32)
     pw[:E] = exc_pw
@@ -838,14 +884,13 @@ def _code2_payload(packed: PackedAlignment, Wpad: int):
     return b0, b1, idx, pw, m, cap
 
 
-_UPLOAD_STREAMS = int(os.environ.get("TRACS_TPU_UPLOAD_STREAMS", "1"))
-
-
 def _put_striped(arr: np.ndarray) -> jnp.ndarray:
     """device_put, optionally split into row stripes transferred on
     concurrent threads (TRACS_TPU_UPLOAD_STREAMS>1) — tunneled links can
-    carry several streams at once — then concatenated on device."""
-    s = _UPLOAD_STREAMS
+    carry several streams at once — then concatenated on device.  The env
+    var is read per call (like every other TRACS_TPU_* runtime toggle) so
+    drivers can set it after import."""
+    s = int(os.environ.get("TRACS_TPU_UPLOAD_STREAMS", "1"))
     n = arr.shape[0]
     if s <= 1 or n < 2 * s:
         return jnp.asarray(arr)
@@ -901,6 +946,10 @@ def _planes_device(packed: PackedAlignment) -> jnp.ndarray:
         else:
             dev = _put_striped(_pad_words(packed.planes, Wpad))
         packed._dev_planes = dev
+        # the code planes are consumed by the upload; at 10k x 1Mb they
+        # hold ~1.1 GB of host RAM if kept for the alignment's lifetime
+        if getattr(packed, "_code2", None) is not None:
+            packed._code2 = None
     return dev
 
 
@@ -1077,7 +1126,18 @@ def _mism_positions_kernel(pa, pb, L, *, capacity: int):
     S = bits.shape[1]
     site_ok = (jnp.arange(S, dtype=jnp.int32) < L)[None, :]
     bits = bits * site_ok
-    csum = jnp.cumsum(bits, axis=1)
+    # hierarchical cumsum along the (up to 1M-long) position axis: XLA:TPU
+    # compile time grows with the scanned-axis length (16+ s flat at 1M),
+    # so scan fixed 8192-wide chunks + a tiny chunk-offset scan instead —
+    # value-identical to ``jnp.cumsum(bits, axis=1)``
+    P = bits.shape[0]
+    B = 8192
+    K = -(-S // B)
+    padded = jnp.pad(bits, ((0, 0), (0, K * B - S))).reshape(P, K, B)
+    inner = jnp.cumsum(padded, axis=2)
+    chunk_tot = inner[:, :, -1]
+    chunk_off = jnp.cumsum(chunk_tot, axis=1) - chunk_tot
+    csum = (inner + chunk_off[:, :, None]).reshape(P, K * B)[:, :S]
     count = csum[:, -1]
     q = jnp.arange(1, capacity + 1, dtype=jnp.int32)
     pos = jax.vmap(
@@ -1256,8 +1316,18 @@ def pairsnp_stream(
         if mesh is None and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0":
             import threading
 
-            for p in {id(a_k): a_k, id(b_k): b_k}.values():
+            # upload ONLY the sides whose split-device tensors are not yet
+            # cached: _split_device frees the raw upload after deriving, so
+            # an unconditional upload here re-sent the full planes (hundreds
+            # of MB over a tunneled link) on EVERY stream call after the
+            # first — the dominant term of BENCH_r04's slow first sweep
+            for p, s_layout in {
+                id(a_k): (a_k, sa), id(b_k): (b_k, sb)
+            }.values():
                 Wpad = ((p.planes.shape[2] + 255) // 256) * 256
+                cache = getattr(s_layout, "_dev_cache", None)
+                if cache is not None and cache[0] == Wpad:
+                    continue
                 if 9 * p.planes.shape[0] * Wpad * 4 <= _DEVICE_SPLIT_BUDGET:
                     th = threading.Thread(
                         target=_planes_device, args=(p,), daemon=True
@@ -1381,7 +1451,10 @@ def pairsnp_stream(
                 D_dev, NN_dev = _assemble_popcount(matches, nunion, L32)
             else:
                 raise ValueError(f"unknown method {method!r}")
-        capacity = _bucket_capacity(cap_hint[0], (r1 - r0) * int(D_dev.shape[1]))
+        capacity = _stable_capacity(
+            tuple(D_dev.shape), cap_hint[0], (r1 - r0) * int(D_dev.shape[1]),
+            grow=False,
+        )
         packed_dev = _extract_coo_packed(
             D_dev, NN_dev, dist, jnp.int32(r0), jnp.int32(b.n_seqs),
             jnp.int32(c0), capacity=capacity, triangle=triangle, with_nn=True,

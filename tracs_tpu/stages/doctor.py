@@ -30,16 +30,8 @@ import subprocess
 import sys
 import tempfile
 
+from tracs_tpu.io.external import VERSION_PROBES as _TOOLS
 from tracs_tpu.utils import add_loglevel_arg, setup_logging
-
-# tool -> (version command, stages that need it)
-_TOOLS = {
-    "sourmash": ("sourmash --version", "align/build-db/pipe reference selection"),
-    "minimap2": ("minimap2 --version", "align/pipe read mapping"),
-    "samtools": ("samtools --version", "align/pipe BAM filter+sort"),
-    "htsbox": (None, "align/pipe pileup generation"),  # no --version flag
-    "gzip": ("gzip --version", "align pileup compression"),
-}
 
 _OPTIONAL = {
     "art_illumina": "read simulation (scripts/tracs_sim.py --simulator art)",
@@ -77,7 +69,9 @@ def _version_of(tool: str, version_cmd: str | None) -> str:
 
 
 def check_tools() -> tuple[list[str], list[str]]:
-    """(ok_lines, problem_lines) for the required external tools."""
+    """(ok_lines, problem_lines) for the required external tools — driven
+    by the same declarative table (io/external.py::VERSION_PROBES /
+    COMMANDS) the pipeline stages render their command lines from."""
     ok, problems = [], []
     for tool, (version_cmd, needed_by) in _TOOLS.items():
         if shutil.which(tool):
