@@ -29,7 +29,27 @@ def test_plot_scatter_and_line(tmp_path, rng):
     out_s = str(tmp_path / "scatter")
     plot_pairwise_scatter(pa, pb, out_s, min_freq=0.01)
     assert os.path.exists(out_s + ".csv")
-    assert os.path.exists(out_s + ".html") or os.path.exists(out_s + ".png")
+    # the interactive HTML is ALWAYS written (no plotly package needed):
+    # figure JSON embedded next to a plotly.js script tag
+    html = open(out_s + ".html").read()
+    assert "Plotly.newPlot" in html
+    assert "cdn.plot.ly" in html
+    import json as _json
+    import pandas as pd
+
+    fig = _json.loads(html.split("const fig = ", 1)[1].split(";\nPlotly", 1)[0])
+    pdf = pd.read_csv(out_s + ".csv")
+    # every CSV row lands in exactly one trace; mismatched sites carry the
+    # open symbol, matches the filled one
+    n_pts = sum(len(t["x"]) for t in fig["data"])
+    assert n_pts == len(pdf)
+    open_pts = sum(
+        len(t["x"]) for t in fig["data"]
+        if t["marker"]["symbol"] == "circle-open"
+    )
+    assert open_pts == int((~pdf["match"].astype(bool)).sum())
+    for t in fig["data"]:
+        assert t["yaxis"].startswith("y") and len(t["x"]) == len(t["y"])
 
     out_l = str(tmp_path / "line")
     plot_pairwise_line(pa, pb, out_l, min_freq=0.0)

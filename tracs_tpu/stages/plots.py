@@ -315,24 +315,102 @@ def plot_pairwise_scatter(count_file_A, count_file_B, outfile,
         return
     pdf.to_csv(outfile + ".csv", index=False)
 
-    try:
-        import plotly.express as px
-        import plotly.offline as offline
-
-        fig = px.scatter(
-            pdf, x="position", y="frequency", facet_col="contig",
-            facet_row="sample", color="allele", symbol="match", opacity=0.7,
-            symbol_sequence=["circle", "circle-open"],
-            color_discrete_map=_ALLELE_COLORS,
-            hover_data=["allele", "frequency", "match"],
-        )
-        fig.update_layout(yaxis_range=[-0.05, 1.05])
-        if len(keep_contigs) > 1:
-            fig.update_xaxes(matches=None)
-        offline.plot(fig, filename=outfile + ".html", auto_open=False)
-    except ImportError:
-        logging.warning("plotly not available; writing static PNG instead of HTML")
+    # interactive HTML, always (reference plot scatter always emits plotly
+    # HTML, reference tracs/plots.py:214-334): the figure JSON is built
+    # here from the already-assembled frame and embedded in a
+    # self-contained page with a plotly.js script tag — no plotly python
+    # package needed.  A static PNG rides along on request.
+    _scatter_html(pdf, outfile)
+    if os.environ.get("TRACS_TPU_SCATTER_PNG"):
         _scatter_png(pdf, outfile)
+
+
+#: pinned plotly.js — any 2.x renders the scatter/scattergl traces below
+_PLOTLY_JS_CDN = "https://cdn.plot.ly/plotly-2.35.2.min.js"
+
+
+def _scatter_fig_json(pdf):
+    """Plotly figure dict for the pairwise scatter: a (sample-row x
+    contig-column) facet grid, alleles colored, matching alleles filled /
+    non-matching open — the same visual contract as the reference's
+    ``px.scatter(..., facet_col='contig', facet_row='sample',
+    color='allele', symbol='match')`` (reference tracs/plots.py:303-322)."""
+    samples = list(dict.fromkeys(pdf["sample"]))
+    contigs = list(dict.fromkeys(pdf["contig"]))
+    nrow, ncol = len(samples), len(contigs)
+    data = []
+    layout = {
+        "grid": {"rows": nrow, "columns": ncol, "pattern": "independent"},
+        "legend": {"title": {"text": "allele / match"}},
+        "margin": {"t": 40},
+    }
+    seen_legend = set()
+    for si, sample in enumerate(samples):
+        for ci, contig in enumerate(contigs):
+            idx = si * ncol + ci + 1
+            ax = "" if idx == 1 else str(idx)
+            panel = pdf[(pdf["sample"] == sample) & (pdf["contig"] == contig)]
+            for allele, color in _ALLELE_COLORS.items():
+                for is_match, symbol in ((True, "circle"), (False, "circle-open")):
+                    rows = panel[
+                        (panel["allele"] == allele)
+                        & (panel["match"].astype(bool) == is_match)
+                    ]
+                    if not len(rows):
+                        continue
+                    name = f"{allele} ({'match' if is_match else 'mismatch'})"
+                    trace = {
+                        "type": "scattergl",
+                        "mode": "markers",
+                        "x": rows["position"].tolist(),
+                        "y": [round(v, 6) for v in rows["frequency"]],
+                        "xaxis": "x" + ax,
+                        "yaxis": "y" + ax,
+                        "name": name,
+                        "legendgroup": name,
+                        "showlegend": name not in seen_legend,
+                        "marker": {
+                            "color": color, "symbol": symbol,
+                            "opacity": 0.7, "size": 6,
+                        },
+                        "hovertemplate": (
+                            f"{sample} / {contig}<br>allele={allele} "
+                            f"match={is_match}<br>position=%{{x}}"
+                            f"<br>frequency=%{{y}}<extra></extra>"
+                        ),
+                    }
+                    seen_legend.add(name)
+                    data.append(trace)
+            layout["xaxis" + ax] = {"title": {"text": f"position ({contig})"}}
+            layout["yaxis" + ax] = {
+                "title": {"text": f"frequency<br>{sample}"} if ci == 0 else {},
+                "range": [-0.05, 1.05],
+            }
+    return {"data": data, "layout": layout}
+
+
+def _scatter_html(pdf, outfile):
+    """Write ``outfile``.html: the figure JSON embedded in a page that
+    loads plotly.js from its CDN script tag.  The DATA is self-contained
+    (works offline for inspection via the adjacent .csv; the interactive
+    render needs the one script fetch, like plotly's own 'cdn' mode)."""
+    import json as _json
+
+    fig = _scatter_fig_json(pdf)
+    html = (
+        "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">\n"
+        "<title>tracs-tpu pairwise scatter</title>\n"
+        f"<script src=\"{_PLOTLY_JS_CDN}\" charset=\"utf-8\"></script>\n"
+        "</head><body>\n"
+        "<div id=\"tracs-scatter\" style=\"width:100%;height:96vh;\"></div>\n"
+        "<script>\nconst fig = "
+        + _json.dumps(fig, separators=(",", ":"))
+        + ";\nPlotly.newPlot(\"tracs-scatter\", fig.data, fig.layout,"
+        " {responsive: true});\n</script>\n</body></html>\n"
+    )
+    with open(outfile + ".html", "w") as fh:
+        fh.write(html)
+    logging.info("wrote interactive scatter: %s.html", outfile)
 
 
 def _scatter_png(pdf, outfile):
