@@ -138,7 +138,14 @@ def main():
     grid = {}
     for M in (1024, 2048, 4096):
         for N in (1024, 2048, 4096, 8192, 10240):
-            dt, tops = bench_dot(M, N, W)
+            # pre-unpacked operands are M*(4L) + N*(4L) int8 bytes; points
+            # that cannot fit HBM are recorded as such, not crashed on
+            try:
+                dt, tops = bench_dot(M, N, W)
+            except Exception as e:  # noqa: BLE001 — typically RESOURCE_EXHAUSTED
+                grid[f"{M}x{N}"] = f"OOM ({type(e).__name__})"
+                print(f"#   {M:5d} x {N:5d}: OOM", file=sys.stderr)
+                continue
             grid[f"{M}x{N}"] = round(tops, 1)
             print(f"#   {M:5d} x {N:5d}: {dt*1e3:7.1f} ms  {tops:5.1f} TOPS",
                   file=sys.stderr)

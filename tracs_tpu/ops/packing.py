@@ -159,24 +159,131 @@ def pack_sequences(seqs: Sequence[str | bytes], names: Sequence[str] | None = No
     return PackedAlignment(planes=planes, length=nib.shape[1], names=list(names))
 
 
-def pack_fasta(path: str | os.PathLike) -> PackedAlignment:
+#: bump to invalidate on-disk pack caches when the plane layout changes
+PACKER_VERSION = 1
+
+#: only cache inputs at least this large (small files re-pack in ms)
+_PACK_CACHE_MIN_BYTES = 64 << 20
+
+
+def _pack_cache_dir() -> str | None:
+    """Cache directory for packed planes, or None when disabled.
+    ``TRACS_TPU_PACK_CACHE`` overrides the default (set to ``0`` to turn
+    the cache off)."""
+    cfg = os.environ.get("TRACS_TPU_PACK_CACHE")
+    if cfg == "0":
+        return None
+    return cfg or os.path.expanduser("~/.cache/tracs_tpu/packed")
+
+
+def _pack_cache_key(path: str) -> str:
+    """Content key for a FASTA: packer version + size + mtime + a hash of
+    the head and tail megabyte.  A FULL content hash would read the whole
+    file — as slow as re-packing it, which is what the cache exists to
+    avoid — so the key trades that for the standard size+mtime+sampled
+    digest; touching the file re-keys it."""
+    import hashlib
+
+    st = os.stat(path)
+    h = hashlib.sha256()
+    h.update(f"pack{PACKER_VERSION}:{st.st_size}:{st.st_mtime_ns}".encode())
+    with open(path, "rb") as fh:
+        h.update(fh.read(1 << 20))
+        if st.st_size > (2 << 20):
+            fh.seek(-(1 << 20), 2)
+            h.update(fh.read(1 << 20))
+    return h.hexdigest()[:32]
+
+
+def _pack_cache_load(entry: str) -> PackedAlignment | None:
+    import json
+
+    meta_p = os.path.join(entry, "meta.json")
+    planes_p = os.path.join(entry, "planes.npy")
+    if not (os.path.exists(meta_p) and os.path.exists(planes_p)):
+        return None
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != PACKER_VERSION:
+        return None
+    # mmap: reruns start sweeping without re-reading 10 GB of FASTA — pages
+    # fault in at disk (not parse) speed, and only the rows a mesh shard
+    # actually touches
+    planes = np.load(planes_p, mmap_mode="r")
+    return PackedAlignment(
+        planes=planes, length=int(meta["length"]), names=list(meta["names"])
+    )
+
+
+def _pack_cache_store(entry: str, packed: PackedAlignment) -> None:
+    import json
+    import tempfile
+
+    os.makedirs(os.path.dirname(entry), exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(entry))
+    try:
+        np.save(os.path.join(tmp, "planes.npy"), packed.planes)
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "version": PACKER_VERSION,
+                    "length": packed.length,
+                    "names": packed.names,
+                },
+                fh,
+            )
+        os.rename(tmp, entry)  # atomic publish; loses the race gracefully
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def pack_fasta(path: str | os.PathLike, use_cache: bool | None = None) -> PackedAlignment:
     """Load an aligned (equal-length) FASTA/FASTA.gz into bit-planes.
 
     The native C++ fast path (src/tracs_native.cpp) is used when built;
     falls back to the numpy packer.
-    """
+
+    Large inputs are persisted to an mmap-able on-disk plane cache keyed
+    by (content key, PACKER_VERSION): a 10 GB FASTA packs once (~6 min at
+    cold-disk north-star scale) and every rerun — including ``--resume``
+    after an interruption — loads in seconds.  Controlled by
+    ``TRACS_TPU_PACK_CACHE`` (dir, or ``0`` to disable)."""
+    path = os.fspath(path)
+    cache_dir = _pack_cache_dir() if use_cache in (None, True) else None
+    entry = key = None
+    if cache_dir is not None:
+        try:
+            big_enough = (
+                use_cache or os.stat(path).st_size >= _PACK_CACHE_MIN_BYTES
+            )
+            if big_enough:
+                key = _pack_cache_key(path)
+                entry = os.path.join(cache_dir, key)
+                cached = _pack_cache_load(entry)
+                if cached is not None:
+                    return cached
+        except OSError:
+            entry = None
+
     from tracs_tpu.runtime.native import native_pack_fasta
 
     packed = native_pack_fasta(path)
-    if packed is not None:
-        return packed
-    names, seqs = [], []
-    for name, seq in read_fasta(path):
-        names.append(name)
-        seqs.append(seq)
-    if not seqs:
-        raise ValueError(f"No sequences found in {path!r}")
-    return pack_sequences(seqs, names)
+    if packed is None:
+        names, seqs = [], []
+        for name, seq in read_fasta(path):
+            names.append(name)
+            seqs.append(seq)
+        if not seqs:
+            raise ValueError(f"No sequences found in {path!r}")
+        packed = pack_sequences(seqs, names)
+    if entry is not None:
+        try:
+            _pack_cache_store(entry, packed)
+        except OSError:  # cache is best-effort; never fail the pack
+            pass
+    return packed
 
 
 def nibbles_to_string(nibbles: np.ndarray) -> str:

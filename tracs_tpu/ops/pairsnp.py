@@ -437,6 +437,240 @@ def _split_device(sa, wp_target: int | None = None):
     return cache
 
 
+# ---------------------------------------------------------------------------
+# upload/compute overlap: chunk-major first sweep
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("rb", "c0", "chunk_w", "wc", "n_chunks"),
+    donate_argnums=(2, 3),
+)
+def _accum_split_ranged(
+    ea, nm, acc, accn, r0, w0, *, rb: int, c0: int, chunk_w: int, wc: int,
+    n_chunks: int,
+):
+    """One word-chunk's gram contribution to one prefix block, ADDED into
+    the block's running (acc, accn) — the chunk-major counterpart of
+    ``_dense_split_ranged`` (same row/column slicing contract), used by the
+    overlapped first sweep where genome chunks become compute-ready as
+    their upload lands.  acc/accn are donated: the accumulators live once
+    in HBM across the whole sweep."""
+    n = ea.shape[0]
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    eck = jax.lax.dynamic_slice_in_dim(ea, w0, chunk_w, axis=2)
+    nck = jax.lax.dynamic_slice_in_dim(nm, w0, chunk_w, axis=1)
+    period = int(os.environ.get("TRACS_TPU_BARRIER_PERIOD", "1"))
+    for c in range(n_chunks):
+        if c and c % period == 0:
+            eck, nck, acc, accn = jax.lax.optimization_barrier(
+                (eck, nck, acc, accn)
+            )
+        end = min((c + 1) * wc, chunk_w)
+        eac = jax.lax.slice_in_dim(eck, c * wc, end, axis=2)
+        nmc = jax.lax.slice_in_dim(nck, c * wc, end, axis=1)
+        ba = _unpack_bits(
+            jax.lax.dynamic_slice_in_dim(eac, r0, rb, axis=0)
+        ).reshape(rb, -1)
+        bna = _unpack_bits(jax.lax.dynamic_slice_in_dim(nmc, r0, rb, axis=0))
+        bb = _unpack_bits(jax.lax.slice_in_dim(eac, c0, n, axis=0)).reshape(
+            n - c0, -1
+        )
+        bnb = _unpack_bits(jax.lax.slice_in_dim(nmc, c0, n, axis=0))
+        gn = dot(bna, bnb)
+        acc = acc + dot(ba, bb) - gn
+        accn = accn + gn
+    return acc, accn
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _update_layout_chunk(full_ea, full_nm, ea_c, nm_c, w0):
+    """Write a derived chunk into the full device-resident layout (donated:
+    the full tensors are updated in place, no second copy)."""
+    return (
+        jax.lax.dynamic_update_slice_in_dim(full_ea, ea_c, w0, axis=2),
+        jax.lax.dynamic_update_slice_in_dim(full_nm, nm_c, w0, axis=1),
+    )
+
+
+@jax.jit
+def _touch_first(*xs):
+    """Tiny fused readback: one element of each array, one host transfer —
+    the sync point that proves a chunk's whole dependency chain executed
+    (block_until_ready does not flush through tunneled backends)."""
+    return jnp.stack([x.ravel()[0].astype(jnp.int32) for x in xs])
+
+
+def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
+    """First-sweep pipeline: upload the layout in genome chunks and run
+    every row block's grams on chunk k while chunk k+1 crosses the host
+    link — the one-time transfer (the dominant serial prefix of a large
+    tunneled run: ~380 s at 10k x 1 Mb) overlaps the sweep's MXU work
+    instead of preceding it.
+
+    Chunk-major schedule: for each 256-aligned word chunk, (1) the b0/b1
+    code planes (or raw planes when no code2 stash exists) arrive from a
+    producer thread, (2) the chunk's excl/nmask are derived on device and
+    written into the full resident layout (donated update — the layout is
+    built in place and becomes ``sa._dev_cache``, so repeat sweeps skip
+    the upload entirely), (3) each span's (acc, accn) accumulate the
+    chunk's grams, (4) an 8-byte readback syncs the chain before the next
+    chunk's update donates the layout.  Yields identical numbers to the
+    one-shot path: the grams are the same dots over the same words, summed
+    in a different (still deterministic) order of exact int32 adds.
+
+    Returns {(r0, r1): (D_dev, NN_dev, c0)} with every result enqueued.
+    """
+    import queue as _queue
+    import threading
+
+    src = sa.src
+    n = sa.n_seqs
+    W = sa.excl.shape[2]
+    Wpad = ((W + 255) // 256) * 256
+
+    # payload form: 2-bit code planes (half the bytes) when stashed + sparse
+    c2 = None
+    if os.environ.get("TRACS_TPU_CODE2_UPLOAD", "1") != "0" and src is not None:
+        c2 = getattr(src, "_code2", None)
+        if c2 is not None:
+            b0, b1, ge2 = c2
+            exc_flat = np.flatnonzero(ge2.reshape(-1))
+            if 24 * exc_flat.size >= 8 * n * W:
+                c2 = None
+    if c2 is not None:
+        exc_i = exc_flat // W
+        exc_w = exc_flat - exc_i * W
+        exc_pw = src.planes[exc_i, :, exc_w].astype(np.uint32)
+        exc_m = ge2.reshape(-1)[exc_flat]
+    elif src is None:
+        return None  # hand-built layout: no planes to upload from
+
+    n_chunks_env = int(os.environ.get("TRACS_TPU_OVERLAP_CHUNKS", "8"))
+    chunk_w = 256 * max(1, -(-Wpad // (256 * max(1, n_chunks_env))))
+    K = -(-Wpad // chunk_w)
+    if K < 2:
+        return None  # nothing to overlap
+
+    # bit-level tail mask (code2 derive must not invent A beyond length)
+    tail = np.zeros(Wpad, dtype=np.uint32)
+    full_words, rem = divmod(sa.length, 32)
+    tail[:full_words] = 0xFFFFFFFF
+    if rem:
+        tail[full_words] = np.uint32((1 << rem) - 1)
+
+    def host_chunk(k):
+        w0, w1 = k * chunk_w, min((k + 1) * chunk_w, W)
+        pad = ((0, 0), (0, chunk_w - (w1 - w0)))
+        if c2 is not None:
+            return (
+                np.pad(np.ascontiguousarray(b0[:, w0:w1]), pad),
+                np.pad(np.ascontiguousarray(b1[:, w0:w1]), pad),
+            )
+        return (
+            np.pad(
+                np.ascontiguousarray(src.planes[:, :, w0:w1]),
+                ((0, 0), (0, 0), (0, chunk_w - (w1 - w0))),
+            ),
+        )
+
+    q = _queue.Queue(maxsize=2)  # at most 2 chunks in flight ahead
+
+    def producer():
+        for k in range(K):
+            try:
+                q.put(tuple(_put_striped(x) for x in host_chunk(k)))
+            except Exception as e:  # noqa: BLE001 — surface on the consumer
+                q.put(e)
+                return
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    full_ea = jnp.zeros((n, 4, Wpad), jnp.uint32)
+    full_nm = jnp.zeros((n, Wpad), jnp.uint32)
+    accs = {}
+    for r0, r1 in spans:
+        c0 = prefix_col_start(n, r0) if (use_prefix and r0 > 0) else 0
+        accs[(r0, r1)] = [
+            jnp.zeros((r1 - r0, n - c0), jnp.int32),
+            jnp.zeros((r1 - r0, n - c0), jnp.int32),
+            c0,
+        ]
+
+    for k in range(K):
+        got = q.get()
+        if isinstance(got, Exception):
+            raise got
+        w0 = k * chunk_w
+        tail_c = jnp.asarray(tail[w0 : w0 + chunk_w])
+        if c2 is not None:
+            d0, d1 = got
+            planes_c = _derive_planes_code2(d0, d1, tail_c, rows=n)
+            # chunk-local exception patch (same OOB-pad/drop contract)
+            in_chunk = (exc_w >= w0) & (exc_w < w0 + chunk_w)
+            E = int(in_chunk.sum())
+            if E:
+                cap = max(64, 1 << int(E - 1).bit_length())
+                idx = np.full(cap, n * 4 * chunk_w, dtype=np.int64)
+                idx[:E] = exc_i[in_chunk] * (4 * chunk_w) + (
+                    exc_w[in_chunk] - w0
+                )
+                pw = np.zeros((cap, 4), dtype=np.uint32)
+                pw[:E] = exc_pw[in_chunk]
+                m = np.zeros(cap, dtype=np.uint32)
+                m[:E] = exc_m[in_chunk]
+                planes_c = _apply_exceptions(
+                    planes_c, jnp.asarray(idx), jnp.asarray(pw),
+                    jnp.asarray(m), cap=cap,
+                )
+        else:
+            (planes_c,) = got
+        ea_c, nm_c = _derive_split_planes(planes_c)
+        del planes_c
+        full_ea, full_nm = _update_layout_chunk(
+            full_ea, full_nm, ea_c, nm_c, jnp.int32(w0)
+        )
+        del ea_c, nm_c
+        for (r0, r1), slot in accs.items():
+            acc, accn, c0 = slot
+            wc, nc = plan_chunks((r1 - r0) + (n - c0), 5, chunk_w)
+            slot[0], slot[1] = _accum_split_ranged(
+                full_ea, full_nm, acc, accn, jnp.int32(r0), jnp.int32(w0),
+                rb=r1 - r0, c0=c0, chunk_w=chunk_w, wc=wc, n_chunks=nc,
+            )
+        # sync the whole chunk chain before the next update donates the
+        # layout (a donation with these grams still in flight would force
+        # the runtime to copy the multi-GB layout)
+        np.asarray(_touch_first(*(s[0] for s in accs.values())))
+    th.join()
+
+    # the progressively-built layout IS the cache: repeat sweeps on this
+    # alignment skip the upload (bench iterates; the CLI streams once)
+    pt = jnp.asarray(sa.partial)
+    sa._dev_cache = (Wpad, full_ea, full_nm, pt)
+    if c2 is not None and getattr(src, "_code2", None) is not None:
+        src._code2 = None  # consumed; free ~0.75x plane bytes of host RAM
+
+    cnt = _cnt_device(sa)
+    L32 = jnp.int32(sa.length)
+    out = {}
+    for (r0, r1), (acc, accn, c0) in accs.items():
+        if sa.n_partial:
+            gp = _gram_partial(pt[r0:r1], pt[c0:])
+        else:
+            gp = jnp.zeros((), jnp.int32)
+        D = _assemble_d(acc, gp, cnt[r0:r1], cnt[c0:], L32)
+        NN = _assemble_nn(accn, cnt[r0:r1], cnt[c0:], L32)
+        out[(r0, r1)] = (D, NN, c0)
+    return out
+
+
 @jax.jit
 def _assemble_d(m, gp, cnt_a, cnt_b, L):
     return (L - (m + gp + cnt_a[:, None] + cnt_b[None, :])).astype(jnp.int32)
@@ -1298,7 +1532,7 @@ def pairsnp_stream(
 
     if method == "auto":
         method = _select_method(a_k, b_k)
-    sweep = ring = None
+    sweep = ring = precomputed = None
     if method == "split":
         if filter:
             # mismatch-position extraction reuses the raw 4-plane upload;
@@ -1312,8 +1546,43 @@ def pairsnp_stream(
         # 10k x 1 Mb, halved by the code2 path) — starts on threads so a
         # query-vs-db pair's two transfers ride the link concurrently
         sa, sb = _split_pair(a_k, b_k)
+        # overlapped first sweep: when the one-time layout upload is still
+        # pending on a single-device self-triangle run, upload it in genome
+        # chunks and run every row block's grams chunk-by-chunk as the
+        # transfer lands (at 10k x 1 Mb the upload is ~380 s of otherwise
+        # serial prefix).  The built layout becomes sa._dev_cache, so this
+        # path runs at most once per alignment.
+        if (
+            mesh is None
+            and b_k is a_k
+            and not filter
+            and os.environ.get("TRACS_TPU_OVERLAP_UPLOAD", "1") != "0"
+            and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0"
+            and getattr(sa, "_dev_cache", None) is None
+            and sa.src is not None
+            and a_k.planes.shape[0] == sa.n_seqs
+            and 16 * a_k.n_seqs * a_k.n_words
+            >= int(os.environ.get("TRACS_TPU_OVERLAP_MIN_BYTES", 64 << 20))
+            and 9 * sa.n_seqs * (((sa.excl.shape[2] + 255) // 256) * 256) * 4
+            <= _DEVICE_SPLIT_BUDGET
+        ):
+            spans_pre = [
+                (r0, min(a.n_seqs, r0 + row_block))
+                for r0 in range(start_row, a.n_seqs, row_block)
+            ]
+            use_prefix_pre = (
+                triangle and os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0"
+            )
+            if spans_pre:
+                precomputed = _overlapped_split_sweep(
+                    sa, spans_pre, use_prefix=use_prefix_pre
+                )
         upload_threads = []
-        if mesh is None and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0":
+        if (
+            mesh is None
+            and precomputed is None
+            and os.environ.get("TRACS_TPU_DEVICE_SPLIT", "1") != "0"
+        ):
             import threading
 
             # upload ONLY the sides whose split-device tensors are not yet
@@ -1421,7 +1690,9 @@ def pairsnp_stream(
         (snp_distance_split_prefix_device) whose column space starts at
         the block's own first row instead of 0."""
         c0 = 0
-        if sweep is not None:
+        if precomputed is not None and (r0, r1) in precomputed:
+            D_dev, NN_dev, c0 = precomputed.pop((r0, r1))
+        elif sweep is not None:
             D_dev, NN_dev = sweep.launch(r0, r1)
         elif method == "split":
             if triangle and use_prefix and not (r0 == 0 and r1 == a.n_seqs):
