@@ -60,6 +60,29 @@ def test_overlap_bit_identical(rng, monkeypatch, with_iupac):
         assert np.array_equal(g, w)
 
 
+def test_overlap_tail_chunk_narrower_than_chunk_w(rng, monkeypatch):
+    """Wpad not divisible by the chunk width: the tail chunk must be cut
+    to its true width.  A full-width tail makes XLA CLAMP the dynamic
+    slice/update start and silently corrupt the layout — the 10k
+    north-star run produced 93,850 rows instead of 249,906 from exactly
+    this (L=1 Mb -> Wpad=31488, 8 chunks -> chunk_w=4096, 31488 % 4096
+    != 0)."""
+    from tracs_tpu.ops import packing
+
+    # L=16500 -> W=516 -> Wpad=768; 2 chunks -> chunk_w=512, tail=256
+    seqs = _toy_seqs(rng, n=19, L=16500)
+    packed = packing.pack_sequences(seqs)
+    monkeypatch.setenv("TRACS_TPU_OVERLAP_MIN_BYTES", "0")
+    monkeypatch.setenv("TRACS_TPU_OVERLAP_CHUNKS", "2")
+    got = _stream_all(packed, row_block=8)
+
+    packed2 = packing.pack_sequences(seqs)
+    monkeypatch.setenv("TRACS_TPU_OVERLAP_UPLOAD", "0")
+    want = _stream_all(packed2, row_block=8)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
 def test_overlap_repeat_sweep_uses_cache(rng, monkeypatch):
     """Second stream on the same alignment must reuse the progressively
     built layout (no second overlap pass / upload)."""

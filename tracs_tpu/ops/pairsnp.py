@@ -564,18 +564,29 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
     if rem:
         tail[full_words] = np.uint32((1 << rem) - 1)
 
+    def chunk_span(k):
+        """Word range of chunk k, clipped to Wpad: the tail chunk is
+        NARROWER when chunk_w does not divide Wpad.  Feeding a full-width
+        tail into the dynamic slices instead would make XLA clamp the
+        start index and silently read/write the wrong words — the 10k
+        north-star run caught exactly that (93,850 rows instead of
+        249,906)."""
+        w0 = k * chunk_w
+        return w0, min(w0 + chunk_w, Wpad)
+
     def host_chunk(k):
-        w0, w1 = k * chunk_w, min((k + 1) * chunk_w, W)
-        pad = ((0, 0), (0, chunk_w - (w1 - w0)))
+        w0, w1 = chunk_span(k)
+        we = min(w1, W)  # data ends at W; [W, w1) is zero padding
+        pad = ((0, 0), (0, w1 - we))
         if c2 is not None:
             return (
-                np.pad(np.ascontiguousarray(b0[:, w0:w1]), pad),
-                np.pad(np.ascontiguousarray(b1[:, w0:w1]), pad),
+                np.pad(np.ascontiguousarray(b0[:, w0:we]), pad),
+                np.pad(np.ascontiguousarray(b1[:, w0:we]), pad),
             )
         return (
             np.pad(
-                np.ascontiguousarray(src.planes[:, :, w0:w1]),
-                ((0, 0), (0, 0), (0, chunk_w - (w1 - w0))),
+                np.ascontiguousarray(src.planes[:, :, w0:we]),
+                ((0, 0), (0, 0), (0, w1 - we)),
             ),
         )
 
@@ -607,18 +618,19 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
         got = q.get()
         if isinstance(got, Exception):
             raise got
-        w0 = k * chunk_w
-        tail_c = jnp.asarray(tail[w0 : w0 + chunk_w])
+        w0, w1 = chunk_span(k)
+        cw = w1 - w0
+        tail_c = jnp.asarray(tail[w0:w1])
         if c2 is not None:
             d0, d1 = got
             planes_c = _derive_planes_code2(d0, d1, tail_c, rows=n)
             # chunk-local exception patch (same OOB-pad/drop contract)
-            in_chunk = (exc_w >= w0) & (exc_w < w0 + chunk_w)
+            in_chunk = (exc_w >= w0) & (exc_w < w1)
             E = int(in_chunk.sum())
             if E:
                 cap = max(64, 1 << int(E - 1).bit_length())
-                idx = np.full(cap, n * 4 * chunk_w, dtype=np.int64)
-                idx[:E] = exc_i[in_chunk] * (4 * chunk_w) + (
+                idx = np.full(cap, n * 4 * cw, dtype=np.int64)
+                idx[:E] = exc_i[in_chunk] * (4 * cw) + (
                     exc_w[in_chunk] - w0
                 )
                 pw = np.zeros((cap, 4), dtype=np.uint32)
@@ -639,10 +651,10 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
         del ea_c, nm_c
         for (r0, r1), slot in accs.items():
             acc, accn, c0 = slot
-            wc, nc = plan_chunks((r1 - r0) + (n - c0), 5, chunk_w)
+            wc, nc = plan_chunks((r1 - r0) + (n - c0), 5, cw)
             slot[0], slot[1] = _accum_split_ranged(
                 full_ea, full_nm, acc, accn, jnp.int32(r0), jnp.int32(w0),
-                rb=r1 - r0, c0=c0, chunk_w=chunk_w, wc=wc, n_chunks=nc,
+                rb=r1 - r0, c0=c0, chunk_w=cw, wc=wc, n_chunks=nc,
             )
         # sync the whole chunk chain before the next update donates the
         # layout (a donation with these grams still in flight would force
