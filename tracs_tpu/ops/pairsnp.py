@@ -341,6 +341,119 @@ def _dense_split_ranged(ea, nm, r0, *, rb: int, c0: int, wc: int, n_chunks: int)
     return acc, accn
 
 
+@partial(
+    jax.jit,
+    static_argnames=("rb1", "c01", "rb2", "c02", "wc", "n_chunks"),
+)
+def _dense_split_ranged2(
+    ea, nm, r01, r02, *, rb1: int, c01: int, rb2: int, c02: int, wc: int,
+    n_chunks: int,
+):
+    """TWO prefix blocks' grams in ONE program, the narrower column
+    suffix sliced from the wider one's unpack (requires c02 >= c01).
+
+    The committed MFU envelope (ARCHITECTURE.md, round 5) measured paired
+    wide+narrow dispatch at 1.6-1.8x the separate dispatches — narrow
+    late-triangle blocks run far below peak on their own (42-77 TOPS at
+    1024-wide outputs) because the MXU pipeline drains between small
+    dots; fusing gives XLA a second block's work to overlap.  Used by the
+    streaming sweep for the narrow tail of the prefix schedule."""
+    n = ea.shape[0]
+    W = ea.shape[2]
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc1 = jnp.zeros((rb1, n - c01), jnp.int32)
+    accn1 = jnp.zeros((rb1, n - c01), jnp.int32)
+    acc2 = jnp.zeros((rb2, n - c02), jnp.int32)
+    accn2 = jnp.zeros((rb2, n - c02), jnp.int32)
+    period = int(os.environ.get("TRACS_TPU_BARRIER_PERIOD", "1"))
+    for c in range(n_chunks):
+        if c and c % period == 0:
+            ea, nm, acc1, accn1, acc2, accn2 = jax.lax.optimization_barrier(
+                (ea, nm, acc1, accn1, acc2, accn2)
+            )
+        end = min((c + 1) * wc, W)
+        eac = jax.lax.slice_in_dim(ea, c * wc, end, axis=2)
+        nmc = jax.lax.slice_in_dim(nm, c * wc, end, axis=1)
+        bb1 = _unpack_bits(jax.lax.slice_in_dim(eac, c01, n, axis=0)).reshape(
+            n - c01, -1
+        )
+        bnb1 = _unpack_bits(jax.lax.slice_in_dim(nmc, c01, n, axis=0))
+        # the narrower suffix is a row-suffix of the wider unpack: share it
+        bb2 = jax.lax.slice_in_dim(bb1, c02 - c01, n - c01, axis=0)
+        bnb2 = jax.lax.slice_in_dim(bnb1, c02 - c01, n - c01, axis=0)
+        ba1 = _unpack_bits(
+            jax.lax.dynamic_slice_in_dim(eac, r01, rb1, axis=0)
+        ).reshape(rb1, -1)
+        bna1 = _unpack_bits(jax.lax.dynamic_slice_in_dim(nmc, r01, rb1, axis=0))
+        ba2 = _unpack_bits(
+            jax.lax.dynamic_slice_in_dim(eac, r02, rb2, axis=0)
+        ).reshape(rb2, -1)
+        bna2 = _unpack_bits(jax.lax.dynamic_slice_in_dim(nmc, r02, rb2, axis=0))
+        gn1 = dot(bna1, bnb1)
+        acc1 = acc1 + dot(ba1, bb1) - gn1
+        accn1 = accn1 + gn1
+        gn2 = dot(bna2, bnb2)
+        acc2 = acc2 + dot(ba2, bb2) - gn2
+        accn2 = accn2 + gn2
+    return acc1, accn1, acc2, accn2
+
+
+#: fuse tail prefix blocks whose column suffix is at most this many samples
+_FUSE_MAX_SUFFIX = 3072
+
+
+def _fused_tail_blocks(sa, spans, use_prefix: bool):
+    """{(r0, r1): (D_dev, NN_dev, c0)} for the narrow TAIL spans of a
+    self-triangle sweep, computed pairwise in single fused programs
+    (``_dense_split_ranged2``).  Pairs are (widest-with-narrowest) within
+    the tail, mirroring the envelope's paired-block measurement.  Returns
+    {} when fewer than two spans qualify."""
+    n = sa.n_seqs
+    tail = []
+    for r0, r1 in spans:
+        if r0 == 0:
+            continue
+        c0 = prefix_col_start(n, r0) if use_prefix else 0
+        if n - c0 <= _FUSE_MAX_SUFFIX:
+            tail.append((r0, r1, c0))
+    if len(tail) < 2:
+        return {}
+    Wpad, ea, nm, pt = _split_device(sa)
+    cnt = _cnt_device(sa)
+    L32 = jnp.int32(sa.length)
+    out = {}
+    # widest (lowest c0) pairs with narrowest (highest c0)
+    tail.sort(key=lambda t: t[2])
+    lo, hi = 0, len(tail) - 1
+    while lo < hi:
+        r01, r11, c01 = tail[lo]
+        r02, r12, c02 = tail[hi]
+        rb1, rb2 = r11 - r01, r12 - r02
+        wc, nc = plan_chunks(rb1 + rb2 + (n - c01), 5, Wpad)
+        m1, gn1, m2, gn2 = _dense_split_ranged2(
+            ea, nm, jnp.int32(r01), jnp.int32(r02),
+            rb1=rb1, c01=c01, rb2=rb2, c02=c02, wc=wc, n_chunks=nc,
+        )
+        for (r0, r1, c0), m, gn in (
+            ((r01, r11, c01), m1, gn1), ((r02, r12, c02), m2, gn2),
+        ):
+            if sa.n_partial:
+                gp = _gram_partial(pt[r0:r1], pt[c0:])
+            else:
+                gp = jnp.zeros((), jnp.int32)
+            D = _assemble_d(m, gp, cnt[r0:r1], cnt[c0:], L32)
+            NN = _assemble_nn(gn, cnt[r0:r1], cnt[c0:], L32)
+            out[(r0, r1)] = (D, NN, c0)
+        lo += 1
+        hi -= 1
+    return out
+
+
 def snp_distance_split_prefix_device(sa, r0: int, r1: int):
     """(D, NN, c0) — device int32 blocks of the triangle rows [r0, r1)
     against the column suffix [c0, n), c0 = prefix_col_start(n, r0) <= r0 —
@@ -1617,6 +1730,29 @@ def pairsnp_stream(
                     upload_threads.append(th)
         for th in upload_threads:
             th.join()  # _split_device must not race the cached upload
+        # narrow-tail block fusion (OFF by default — measured negative):
+        # envelope Part C said paired wide+narrow dots run 1.6-1.8x the
+        # separate dispatches, but IN the pipelined stream the fused
+        # program measured 0.648 s vs 0.448 s per n=4096 sweep
+        # (_fuse_experiment.log) — the per-block programs already overlap
+        # with extraction/download, and the fused chunk plan shrinks wc
+        # for everyone.  Kept behind the flag as a tested cross-check.
+        if (
+            precomputed is None
+            and mesh is None
+            and triangle
+            and os.environ.get("TRACS_TPU_FUSE_NARROW", "0") == "1"
+        ):
+            spans_f = [
+                (r0, min(a.n_seqs, r0 + row_block))
+                for r0 in range(start_row, a.n_seqs, row_block)
+            ]
+            fused = _fused_tail_blocks(
+                sa, spans_f,
+                os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0",
+            )
+            if fused:
+                precomputed = fused
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
             from tracs_tpu.parallel.allpairs import RingCoo, ShardedSweep
 
