@@ -185,6 +185,13 @@ def check_runtime() -> tuple[list[str], list[str]]:
 def doctor(args) -> int:
     setup_logging(getattr(args, "loglevel", "INFO"))
     ok, problems = check_tools()
+    from tracs_tpu.io.external import COMMANDS
+
+    ok.append(
+        "command contracts: "
+        + ", ".join(sorted(COMMANDS))
+        + " (io/external.py COMMANDS — templates shared by stages and this probe)"
+    )
     ok2, problems2 = check_runtime()
     ok += ok2
     problems += problems2
