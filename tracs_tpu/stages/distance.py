@@ -407,53 +407,61 @@ def _distance_streaming(args, dates):
             log_rate = rate_logger("pairs")
             blob_cache = {}  # per-MSA: the names blob is shared across blocks
             secs_arr = secs_known = None  # per-MSA sample indexing
-            for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
-                msas, dist=args.snp_threshold, filter=args.recomb_filter,
-                row_block=args.row_block, start_row=start_row,
-                mesh=getattr(args, "resolved_mesh", None),
-            ):
-                with phase("block rows [%d,%d): %d pairs" % (r0, r1, len(rows))):
-                    if dates is not None and len(rows):
-                        dist_col = filt if args.recomb_filter else dvals
-                        datediff = datediff_for(names, rows, cols)
-                        p0, eK = cache.lookup(dist_col, datediff)
-                        p0 = np.exp(p0)
-                        if args.trans_threshold is not None:
-                            keep = np.nonzero(args.trans_threshold >= eK)[0]
-                        else:
-                            keep = np.arange(len(rows))
-                        txt = native_format_rows(
-                            names, rows[keep], cols[keep], dvals[keep],
-                            nn[keep], ref, datediff=datediff[keep],
-                            p0=p0[keep], eK=eK[keep],
-                            filt=(filt[keep] if args.recomb_filter else None),
-                            _blob_cache=blob_cache,
-                        )
-                        if txt is not None:
-                            outfile.write(txt)
-                        else:
-                            lines = [
-                                f"{names[rows[k]]},{names[cols[k]]},{datediff[k]},"
-                                f"{int(dvals[k])},{p0[k]},{eK[k]},"
-                                f"{filt[k] if args.recomb_filter else 'NA'},{nn[k]},{ref}"
-                                for k in keep
-                            ]
-                            if lines:
-                                outfile.write("\n".join(lines) + "\n")
-                    elif len(rows):
-                        txt = native_format_rows(
-                            names, rows, cols, dvals, nn, ref, filt=filt,
-                            _blob_cache=blob_cache,
-                        )
-                        if txt is not None:
-                            outfile.write(txt)
-                        else:
-                            lines = [
-                                f"{names[rows[k]]},{names[cols[k]]},NA,"
-                                f"{int(dvals[k])},NA,NA,{filt[k]},{nn[k]},{ref}"
-                                for k in range(len(rows))
-                            ]
-                            outfile.write("\n".join(lines) + "\n")
+            def format_block(names, rows, cols, dvals, filt, nn):
+                """CSV text for one block (transcluster + formatting) —
+                the host-CPU half of a block, run on the pipeline worker
+                while the device computes the next block."""
+                if dates is not None and len(rows):
+                    dist_col = filt if args.recomb_filter else dvals
+                    datediff = datediff_for(names, rows, cols)
+                    p0, eK = cache.lookup(dist_col, datediff)
+                    p0 = np.exp(p0)
+                    if args.trans_threshold is not None:
+                        keep = np.nonzero(args.trans_threshold >= eK)[0]
+                    else:
+                        keep = np.arange(len(rows))
+                    txt = native_format_rows(
+                        names, rows[keep], cols[keep], dvals[keep],
+                        nn[keep], ref, datediff=datediff[keep],
+                        p0=p0[keep], eK=eK[keep],
+                        filt=(filt[keep] if args.recomb_filter else None),
+                        _blob_cache=blob_cache,
+                    )
+                    if txt is None:
+                        lines = [
+                            f"{names[rows[k]]},{names[cols[k]]},{datediff[k]},"
+                            f"{int(dvals[k])},{p0[k]},{eK[k]},"
+                            f"{filt[k] if args.recomb_filter else 'NA'},{nn[k]},{ref}"
+                            for k in keep
+                        ]
+                        txt = "\n".join(lines) + "\n" if lines else ""
+                elif len(rows):
+                    txt = native_format_rows(
+                        names, rows, cols, dvals, nn, ref, filt=filt,
+                        _blob_cache=blob_cache,
+                    )
+                    if txt is None:
+                        lines = [
+                            f"{names[rows[k]]},{names[cols[k]]},NA,"
+                            f"{int(dvals[k])},NA,NA,{filt[k]},{nn[k]},{ref}"
+                            for k in range(len(rows))
+                        ]
+                        txt = "\n".join(lines) + "\n"
+                else:
+                    txt = ""
+                return txt
+
+            def write_block(r0, r1, n_names, fut):
+                """Join the worker, write its CSV text, advance the cursor
+                — blocks land strictly in row order, so the resume
+                contract (cursor = flushed byte offset of the last
+                complete block) is untouched by the pipelining."""
+                fut[1].join()
+                if isinstance(fut[0], BaseException):
+                    raise fut[0]  # e.g. KeyError for a missing sample date
+                with phase("block rows [%d,%d)" % (r0, r1)):
+                    if fut[0]:
+                        outfile.write(fut[0])
                     outfile.flush()
                     # atomic cursor update (a kill mid-json would otherwise
                     # leave an unreadable cursor)
@@ -462,7 +470,45 @@ def _distance_streaming(args, dates):
                     with open(cursor_path + ".tmp", "w") as fh:
                         json.dump(state, fh)
                     os.replace(cursor_path + ".tmp", cursor_path)
-                log_rate((r1 - r0) * (len(names) - r0))
+                log_rate((r1 - r0) * (n_names - r0))
+
+            # one-deep host pipeline: block k's transcluster + formatting
+            # run on a worker thread while the generator's next() waits on
+            # block k+1's device sweep/download.  Exactly one worker is
+            # alive at a time (started only after the previous one was
+            # joined), so the transcluster cache and the name-blob cache
+            # see strictly serial access.
+            import threading
+
+            pipelined = os.environ.get("TRACS_TPU_PIPELINE_BLOCKS", "1") != "0"
+            pending = None  # (r0, r1, len(names), [result, thread])
+            for r0, r1, names, rows, cols, dvals, filt, nn in pairsnp_stream(
+                msas, dist=args.snp_threshold, filter=args.recomb_filter,
+                row_block=args.row_block, start_row=start_row,
+                mesh=getattr(args, "resolved_mesh", None),
+            ):
+                if pending is not None:
+                    write_block(*pending)
+                    pending = None
+                fut = [None, None]
+
+                def work(fut=fut, a=(names, rows, cols, dvals, filt, nn)):
+                    try:
+                        fut[0] = format_block(*a)
+                    except BaseException as e:  # noqa: BLE001 — re-raised on join
+                        fut[0] = e
+
+                if pipelined:
+                    th = threading.Thread(target=work, daemon=True)
+                    fut[1] = th
+                    th.start()
+                else:
+                    work()
+                    fut[1] = threading.Thread(target=lambda: None)
+                    fut[1].start()
+                pending = (r0, r1, len(names), fut)
+            if pending is not None:
+                write_block(*pending)
             cursor = {"msa_index": mi + 1, "next_row": 0}
     if os.path.exists(cursor_path):
         os.remove(cursor_path)
