@@ -46,10 +46,20 @@ except Exception:  # pragma: no cover - backends already initialised
 def warn_if_platform_fell_back() -> None:
     """Warn (loudly) when an explicitly requested accelerator platform
     failed to initialise and jax silently fell back to the cpu entry this
-    module appended.  Called by the CLI after backends initialise; the
-    fallback itself is kept because the f64 model numerics need a cpu
-    backend to exist alongside the accelerator."""
-    if _REQUESTED_PLATFORM and jax.default_backend() == "cpu":
+    module appended.  LAZY: only inspects backends that already
+    initialised — a host-only CLI command (plot, cluster, doctor) must
+    not pay accelerator-init latency just for this check.  The fallback
+    itself is kept because the f64 model numerics need a cpu backend to
+    exist alongside the accelerator."""
+    if not _REQUESTED_PLATFORM:
+        return
+    try:  # private, so fail-safe: no check beats a forced backend init
+        from jax._src import xla_bridge as _xb
+
+        initialised = bool(getattr(_xb, "_backends", None))
+    except Exception:  # pragma: no cover - jax internals moved
+        initialised = False
+    if initialised and jax.default_backend() == "cpu":
         import logging
 
         logging.getLogger(__name__).warning(

@@ -41,10 +41,13 @@ def main(argv=None):
         func = args.func
     except AttributeError:
         parser.error("Too few inputs. For help, run tracs-tpu --help")
+    # lazy check (never forces backend init): warn early if imports
+    # already initialised jax on CPU despite an explicit accelerator ask
     import tracs_tpu
 
     tracs_tpu.warn_if_platform_fell_back()
     rc = func(args)
+    tracs_tpu.warn_if_platform_fell_back()
     if isinstance(rc, int) and rc:  # doctor-style preflights signal via exit code
         raise SystemExit(rc)
     return

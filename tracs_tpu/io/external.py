@@ -165,9 +165,12 @@ def run_command(name: str, **fields) -> str:
     run(cmd)
     if spec.output_field is not None:
         out = fields[spec.output_field]
-        if not os.path.exists(out) or os.path.getsize(out) == 0:
+        # existence only: a zero-byte output can be legitimate (e.g. a
+        # pileup where no read passed the divergence/quality filters for
+        # one reference — the align stage handles zero coverage itself)
+        if not os.path.exists(out):
             raise RuntimeError(
-                f"{name}: expected output {out!r} is missing or empty "
+                f"{name}: expected output {out!r} was not produced "
                 f"(command: {cmd!r})"
             )
     return cmd

@@ -177,21 +177,27 @@ def _pack_cache_dir() -> str | None:
 
 
 def _pack_cache_key(path: str) -> str:
-    """Content key for a FASTA: packer version + size + mtime + a hash of
-    the head and tail megabyte.  A FULL content hash would read the whole
-    file — as slow as re-packing it, which is what the cache exists to
-    avoid — so the key trades that for the standard size+mtime+sampled
-    digest; touching the file re-keys it."""
+    """Content key for a FASTA: packer version + size + mtime + a digest
+    of 16 stripes sampled ACROSS the file (plus head and tail).  A FULL
+    content hash would read the whole file — as slow as re-packing it,
+    which is what the cache exists to avoid — so the key trades that for
+    size+mtime+strided samples: a middle-of-file edit that somehow
+    preserves size and mtime (tar -x, rsync -a, touch -r pipelines) still
+    re-keys unless it dodges every 256 KB stripe."""
     import hashlib
 
     st = os.stat(path)
     h = hashlib.sha256()
     h.update(f"pack{PACKER_VERSION}:{st.st_size}:{st.st_mtime_ns}".encode())
+    stripe = 256 << 10
     with open(path, "rb") as fh:
-        h.update(fh.read(1 << 20))
-        if st.st_size > (2 << 20):
-            fh.seek(-(1 << 20), 2)
-            h.update(fh.read(1 << 20))
+        h.update(fh.read(stripe))
+        if st.st_size > 2 * stripe:
+            for k in range(1, 16):
+                fh.seek(max(0, st.st_size * k // 16 - stripe // 2))
+                h.update(fh.read(stripe))
+            fh.seek(-stripe, 2)
+            h.update(fh.read(stripe))
     return h.hexdigest()[:32]
 
 

@@ -647,6 +647,21 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
     W = sa.excl.shape[2]
     Wpad = ((W + 255) // 256) * 256
 
+    # the per-span int32 accumulators (and the assembled D/NN that replace
+    # them) all live on device AT ONCE in this schedule — ~4 bytes x 2 x
+    # the triangle's pair count.  The layout gate alone misses this: at
+    # many-samples/short-genome shapes (n=65k, L=50kb) the accumulators
+    # dwarf the layout.  Budget both, with 2x on the accs for the
+    # assemble-time overlap of acc and D buffers.
+    acc_bytes = sum(
+        2 * (r1 - r0)
+        * (n - (prefix_col_start(n, r0) if (use_prefix and r0 > 0) else 0))
+        * 4
+        for r0, r1 in spans
+    )
+    if 9 * n * Wpad * 4 + 2 * acc_bytes > _DEVICE_SPLIT_BUDGET:
+        return None  # fall back to the block-streamed path
+
     # payload form: 2-bit code planes (half the bytes) when stashed + sparse
     c2 = None
     if os.environ.get("TRACS_TPU_CODE2_UPLOAD", "1") != "0" and src is not None:
@@ -657,10 +672,9 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
             if 24 * exc_flat.size >= 8 * n * W:
                 c2 = None
     if c2 is not None:
-        exc_i = exc_flat // W
-        exc_w = exc_flat - exc_i * W
-        exc_pw = src.planes[exc_i, :, exc_w].astype(np.uint32)
-        exc_m = ge2.reshape(-1)[exc_flat]
+        exc_i, exc_w, exc_pw, exc_m = _code2_exception_arrays(
+            src, ge2, exc_flat, W
+        )
     elif src is None:
         return None  # hand-built layout: no planes to upload from
 
@@ -671,11 +685,7 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
         return None  # nothing to overlap
 
     # bit-level tail mask (code2 derive must not invent A beyond length)
-    tail = np.zeros(Wpad, dtype=np.uint32)
-    full_words, rem = divmod(sa.length, 32)
-    tail[:full_words] = 0xFFFFFFFF
-    if rem:
-        tail[full_words] = np.uint32((1 << rem) - 1)
+    tail = _tail_bit_mask(sa.length, Wpad)
 
     def chunk_span(k):
         """Word range of chunk k, clipped to Wpad: the tail chunk is
@@ -739,17 +749,12 @@ def _overlapped_split_sweep(sa, spans, *, use_prefix: bool):
             planes_c = _derive_planes_code2(d0, d1, tail_c, rows=n)
             # chunk-local exception patch (same OOB-pad/drop contract)
             in_chunk = (exc_w >= w0) & (exc_w < w1)
-            E = int(in_chunk.sum())
-            if E:
-                cap = max(64, 1 << int(E - 1).bit_length())
-                idx = np.full(cap, n * 4 * cw, dtype=np.int64)
-                idx[:E] = exc_i[in_chunk] * (4 * cw) + (
-                    exc_w[in_chunk] - w0
+            if int(in_chunk.sum()):
+                idx, pw, m, cap = _pad_exceptions(
+                    exc_i[in_chunk] * (4 * cw) + (exc_w[in_chunk] - w0),
+                    exc_pw[in_chunk], exc_m[in_chunk],
+                    oob_index=n * 4 * cw,
                 )
-                pw = np.zeros((cap, 4), dtype=np.uint32)
-                pw[:E] = exc_pw[in_chunk]
-                m = np.zeros(cap, dtype=np.uint32)
-                m[:E] = exc_m[in_chunk]
                 planes_c = _apply_exceptions(
                     planes_c, jnp.asarray(idx), jnp.asarray(pw),
                     jnp.asarray(m), cap=cap,
@@ -1212,6 +1217,46 @@ def _apply_exceptions(planes, exc_idx, exc_pw, exc_m, *, cap: int):
     return flat.reshape(n, 4, W)
 
 
+def _tail_bit_mask(length: int, Wpad: int) -> np.ndarray:
+    """Bit-level valid-site mask over Wpad words: 1 for sites < length.
+    The code2 derive maps code 0 to 'A', so bits beyond the true length
+    must be cleared or padding would read as an A allele."""
+    tail = np.zeros(Wpad, dtype=np.uint32)
+    full_words, rem = divmod(length, 32)
+    tail[:full_words] = 0xFFFFFFFF
+    if rem:
+        tail[full_words] = np.uint32((1 << rem) - 1)
+    return tail
+
+
+def _code2_exception_arrays(packed: PackedAlignment, ge2, exc_flat, W: int):
+    """(exc_i, exc_w, exc_pw [E,4], exc_m [E]) for the >=2-bit IUPAC
+    exception words — the shared extraction behind both the one-shot
+    payload (_code2_payload) and the chunked overlap upload, so the
+    pad-index/drop contract lives in one place."""
+    exc_i = exc_flat // W
+    exc_w = exc_flat - exc_i * W
+    exc_pw = packed.planes[exc_i, :, exc_w].astype(np.uint32)
+    exc_m = ge2.reshape(-1)[exc_flat]
+    return exc_i, exc_w, exc_pw, exc_m
+
+
+def _pad_exceptions(exc_idx, exc_pw, exc_m, oob_index: int):
+    """Capacity-bucketed exception arrays with OUT-OF-BOUNDS pad indices:
+    _apply_exceptions drops pad slots (an in-bounds pad index — 0, say —
+    would alias a real exception at sample 0, word 0, and duplicate-index
+    scatter order is undefined)."""
+    E = int(exc_idx.size)
+    cap = max(64, 1 << int(E - 1).bit_length()) if E else 64
+    idx = np.full(cap, oob_index, dtype=np.int64)
+    idx[:E] = exc_idx
+    pw = np.zeros((cap, 4), dtype=np.uint32)
+    pw[:E] = exc_pw
+    m = np.zeros(cap, dtype=np.uint32)
+    m[:E] = exc_m
+    return idx, pw, m, cap
+
+
 def _code2_payload(packed: PackedAlignment, Wpad: int):
     """Host-side compact-upload payload, or None when unavailable or not
     beneficial: (b0_pad, b1_pad, exc_idx[A-plane flat], exc_pw [E,4],
@@ -1224,22 +1269,12 @@ def _code2_payload(packed: PackedAlignment, Wpad: int):
     b0, b1, ge2 = c2
     n, W = b0.shape
     flat = np.flatnonzero(ge2.reshape(-1))
-    E = int(flat.size)
-    if 24 * E >= 8 * n * W:
+    if 24 * flat.size >= 8 * n * W:
         return None
-    i = flat // W
-    w = flat - i * W
-    exc_pw = packed.planes[i, :, w].astype(np.uint32)  # [E, 4]
-    exc_m = ge2.reshape(-1)[flat]
-    cap = max(64, 1 << int(E - 1).bit_length()) if E else 64
-    # pad slots get an OUT-OF-BOUNDS index: _apply_exceptions drops them.
-    # (flat index 0 would alias a real exception at sample 0, word 0)
-    idx = np.full(cap, n * 4 * Wpad, dtype=np.int64)
-    idx[:E] = i * (4 * Wpad) + w  # A-plane offset in padded flat space
-    pw = np.zeros((cap, 4), dtype=np.uint32)
-    pw[:E] = exc_pw
-    m = np.zeros(cap, dtype=np.uint32)
-    m[:E] = exc_m
+    i, w, exc_pw, exc_m = _code2_exception_arrays(packed, ge2, flat, W)
+    idx, pw, m, cap = _pad_exceptions(
+        i * (4 * Wpad) + w, exc_pw, exc_m, oob_index=n * 4 * Wpad
+    )
     return b0, b1, idx, pw, m, cap
 
 
@@ -1289,11 +1324,7 @@ def _planes_device(packed: PackedAlignment) -> jnp.ndarray:
             b0, b1, idx, pw, m, cap = payload
             W = b0.shape[1]
             pad = ((0, 0), (0, Wpad - W))
-            tail = np.zeros(Wpad, dtype=np.uint32)
-            full, rem = divmod(packed.length, 32)
-            tail[:full] = 0xFFFFFFFF
-            if rem:
-                tail[full] = np.uint32((1 << rem) - 1)
+            tail = _tail_bit_mask(packed.length, Wpad)
             d0 = _put_striped(np.pad(b0, pad))
             d1 = _put_striped(np.pad(b1, pad))
             dev = _derive_planes_code2(d0, d1, jnp.asarray(tail),
@@ -1657,6 +1688,13 @@ def pairsnp_stream(
 
     if method == "auto":
         method = _select_method(a_k, b_k)
+    # the block schedule, built ONCE: the overlap engine, the fusion
+    # precompute and the main loop must all see the same span list, or
+    # precomputed blocks would silently never be popped
+    spans = [
+        (r0, min(a.n_seqs, r0 + row_block))
+        for r0 in range(start_row, a.n_seqs, row_block)
+    ]
     sweep = ring = precomputed = None
     if method == "split":
         if filter:
@@ -1691,16 +1729,12 @@ def pairsnp_stream(
             and 9 * sa.n_seqs * (((sa.excl.shape[2] + 255) // 256) * 256) * 4
             <= _DEVICE_SPLIT_BUDGET
         ):
-            spans_pre = [
-                (r0, min(a.n_seqs, r0 + row_block))
-                for r0 in range(start_row, a.n_seqs, row_block)
-            ]
             use_prefix_pre = (
                 triangle and os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0"
             )
-            if spans_pre:
+            if spans:
                 precomputed = _overlapped_split_sweep(
-                    sa, spans_pre, use_prefix=use_prefix_pre
+                    sa, spans, use_prefix=use_prefix_pre
                 )
         upload_threads = []
         if (
@@ -1743,12 +1777,8 @@ def pairsnp_stream(
             and triangle
             and os.environ.get("TRACS_TPU_FUSE_NARROW", "0") == "1"
         ):
-            spans_f = [
-                (r0, min(a.n_seqs, r0 + row_block))
-                for r0 in range(start_row, a.n_seqs, row_block)
-            ]
             fused = _fused_tail_blocks(
-                sa, spans_f,
+                sa, spans,
                 os.environ.get("TRACS_TPU_TRIANGLE", "1") != "0",
             )
             if fused:
@@ -1880,10 +1910,6 @@ def pairsnp_stream(
         )
         return D_dev, NN_dev, packed_dev, capacity, c0
 
-    spans = [
-        (r0, min(a.n_seqs, r0 + row_block))
-        for r0 in range(start_row, a.n_seqs, row_block)
-    ]
     pending = _launch(*spans[0]) if spans else None
 
     for k, (r0, r1) in enumerate(spans):

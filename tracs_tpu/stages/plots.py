@@ -317,11 +317,13 @@ def plot_pairwise_scatter(count_file_A, count_file_B, outfile,
 
     # interactive HTML, always (reference plot scatter always emits plotly
     # HTML, reference tracs/plots.py:214-334): the figure JSON is built
-    # here from the already-assembled frame and embedded in a
-    # self-contained page with a plotly.js script tag — no plotly python
-    # package needed.  A static PNG rides along on request.
+    # here from the already-assembled frame and embedded in a page with a
+    # plotly.js script tag — no plotly python package needed.  The static
+    # PNG also writes by default (the interactive render needs one
+    # script fetch, and air-gapped hosts deserve a viewable artifact);
+    # TRACS_TPU_SCATTER_PNG=0 skips it.
     _scatter_html(pdf, outfile)
-    if os.environ.get("TRACS_TPU_SCATTER_PNG"):
+    if os.environ.get("TRACS_TPU_SCATTER_PNG", "1") != "0":
         _scatter_png(pdf, outfile)
 
 
@@ -390,10 +392,11 @@ def _scatter_fig_json(pdf):
 
 
 def _scatter_html(pdf, outfile):
-    """Write ``outfile``.html: the figure JSON embedded in a page that
-    loads plotly.js from its CDN script tag.  The DATA is self-contained
-    (works offline for inspection via the adjacent .csv; the interactive
-    render needs the one script fetch, like plotly's own 'cdn' mode)."""
+    """Write ``outfile``.html: the figure JSON embedded in the page, the
+    plotly.js LIBRARY loaded from its CDN script tag (like plotly's own
+    'cdn' include mode).  The data needs no further fetch; the
+    interactive render needs that one script, so the default PNG covers
+    offline viewing."""
     import json as _json
 
     fig = _scatter_fig_json(pdf)
